@@ -1,0 +1,134 @@
+"""Static model configuration.
+
+The reference model is configured at compile time through CPP switches
+(reference: src/cppdefs.opt, ~90 switches) plus compile-time constants
+(reference: src/param.opt: grid dims LLm,MMm,N, rank grid NP_XI,NP_ETA,
+tracer count nt) and runtime keywords parsed from roms.in
+(reference: src/read_inp_mod.F:18-220).
+
+Here all of that collapses into one frozen dataclass.  It is hashable, so it
+can be passed as a static argument to `jax.jit`: every distinct configuration
+gets its own specialized XLA program — the TPU analog of the reference's
+configure-by-copy per-case recompilation (reference: Work/Makefile:15-27).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from enum import Enum
+
+
+class AdvScheme(Enum):
+    """Horizontal advection flux scheme (reference: src/compute_horiz_tracer_fluxes.h:45-115).
+
+    CENTERED4: 4-point symmetric 4th-order (predictor default).
+    UPSTREAM3: 3-point upstream-biased parabolic (corrector default;
+               reference: step3d_t_ISO.F:5 UPSTREAM_TS, step3d_uv1.F:3 UPSTREAM_UV).
+    AKIMA:     harmonic-mean-slope variant.
+    """
+
+    CENTERED4 = "centered4"
+    UPSTREAM3 = "upstream3"
+    AKIMA = "akima"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # ---- grid dimensions (reference: src/param.opt:18) -------------------
+    nx: int  # LLm: physical interior points in XI
+    ny: int  # MMm: physical interior points in ETA
+    nz: int  # N:   vertical sigma levels
+    nt: int = 1  # number of tracers (>= 1; itemp=0[, isalt=1])
+
+    # ---- time stepping (reference: roms.in "time_stepping") --------------
+    dt: float = 5.0  # baroclinic step [s]
+    ndtfast: int = 60  # mode-splitting ratio; dtfast = dt/ndtfast
+    ntimes: int = 20
+
+    # ---- vertical coordinate (reference: roms.in "S-coord") --------------
+    theta_s: float = 6.0
+    theta_b: float = 2.0
+    hc: float = 25.0  # critical depth [m]
+
+    # ---- physical constants (reference: src/scalars.F:126-130) -----------
+    g: float = 9.81
+    rho0: float = 1000.0
+    von_karman: float = 0.41
+
+    # ---- EOS (reference: src/rho_eos.F; roms.in "lin_rho_eos") -----------
+    nonlin_eos: bool = False  # Jackett & McDougall 1995 split EOS
+    salinity: bool = False
+    tcoef: float = 0.2  # thermal expansion [kg/m^3/degC] (linear EOS)
+    t0: float = 1.0
+    scoef: float = 0.822
+    s0: float = 1.0
+
+    # ---- bottom drag (reference: roms.in "bottom_drag") -------------------
+    rdrg: float = 0.0  # linear drag coefficient [m/s]
+    rdrg2: float = 1.0e-3  # quadratic drag (unused by log-layer law)
+    zob: float = 1.0e-2  # bottom roughness height [m]
+
+    # ---- mixing (reference: roms.in) --------------------------------------
+    visc2: float = 0.0  # lateral Laplacian viscosity [m^2/s]
+    tnu2: float = 0.0  # lateral Laplacian tracer diffusivity [m^2/s]
+    akv_bak: float = 0.0  # background vertical viscosity [m^2/s]
+    akt_bak: float = 0.0  # background vertical diffusivity [m^2/s]
+
+    # ---- switches (reference: cppdefs.opt) --------------------------------
+    uv_adv: bool = True  # UV_ADV
+    uv_cor: bool = True  # UV_COR
+    curvgrid: bool = False  # CURVGRID
+    masking: bool = True  # MASKING
+    ew_periodic: bool = True  # EW_PERIODIC
+    ns_periodic: bool = True  # NS_PERIODIC
+    uv_vis2: bool = True  # UV_VIS2 (no-op when visc2 == 0)
+    ts_dif2: bool = True  # TS_DIF2 (no-op when tnu2 == 0)
+    lmd_kpp: bool = False  # LMD_KPP vertical mixing
+    var_rho_2d: bool = True  # VAR_RHO_2D (reference: set_global_definitions.h:81)
+
+    # predictor/corrector advection schemes (see AdvScheme docstring)
+    ts_pred_scheme: AdvScheme = AdvScheme.CENTERED4
+    ts_corr_scheme: AdvScheme = AdvScheme.UPSTREAM3
+    uv_pred_scheme: AdvScheme = AdvScheme.CENTERED4
+    uv_corr_scheme: AdvScheme = AdvScheme.UPSTREAM3
+
+    # ---- halo -------------------------------------------------------------
+    halo: int = 2  # ghost cells per side (reference: set_global_definitions.h:146)
+
+    # ---- coupling constants ------------------------------------------------
+    # Fast-flux extrapolation weights (reference: src/set_depth.F:314-316,
+    # "PAC23 verified setting", alpha_max = 1.0877).
+    extrap_now: float = 3.63
+    extrap_mid: float = 4.47
+    extrap_bak: float = 2.05
+
+    # FlxU/FlxV n+1/2 blend in the corrector coupling
+    # (reference: src/step3d_uv2.F:553-554).
+    coup_delta: float = 0.28
+    coup_epsil: float = 0.36
+
+    @property
+    def dtfast(self) -> float:
+        return self.dt / float(self.ndtfast)
+
+    @property
+    def fully_periodic(self) -> bool:
+        return self.ew_periodic and self.ns_periodic
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def itemp(self) -> int:
+        return 0
+
+    @property
+    def isalt(self) -> int:
+        return 1
+
+    @property
+    def i_t_and_s(self) -> int:
+        """Number of physical (T,S) tracers: Akt index clamp
+        (reference: src/tracers.F iTandS)."""
+        return 2 if self.salinity else 1

@@ -1,0 +1,47 @@
+"""Simple run driver: init → step loop → diagnostics log.
+
+Replaces the reference's roms_thread time loop (reference: main.F:55-83).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from roms_tpu.config import ModelConfig
+from roms_tpu.diag import compute_diag
+from roms_tpu.ops.weights import set_weights
+from roms_tpu.stepper import step
+
+
+def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
+        collect_diag: bool = True, print_diag: bool = False):
+    """Advance `nsteps` baroclinic steps; return (state, diag_rows).
+
+    diag_rows[i] = (step_index, avke, avke2b, cu_adv, cu_w) matching the
+    reference log table (reference: diag.F:540-552, code_check format).
+    """
+    if nsteps is None:
+        nsteps = cfg.ntimes
+    w1, w2, nfast = set_weights(cfg.ndtfast)
+    dtype = state.zeta.dtype
+    w1 = jnp.asarray(w1, dtype)
+    w2 = jnp.asarray(w2, dtype)
+
+    rows = []
+
+    def log(st, iic):
+        if collect_diag:
+            d = compute_diag(st, grid, cfg)
+            row = (iic, float(d.avke), float(d.avke2b),
+                   float(d.cu_adv), float(d.cu_w))
+            rows.append(row)
+            if print_diag:
+                print(f"{iic:3d} {row[1]:.16E} {row[2]:.16E} "
+                      f"{row[3]:.16E} {row[4]:.16E}")
+
+    log(state, 0)
+    for i in range(nsteps):
+        state = step(state, forcing, grid, w1, w2, cfg, first_step=(i == 0))
+        log(state, i + 1)
+    return state, np.asarray(rows)

@@ -1,0 +1,125 @@
+"""Halo (ghost-cell) management.
+
+Every horizontal field carries `H` ghost cells on each side of the (j, i)
+dims, mirroring the reference's MPI-local arrays with 2-deep margins
+(reference: src/set_global_definitions.h:136-153).  Stencil kernels are
+written against these padded arrays via `shift()`; after a kernel writes a
+field, its ghost zones are stale and must be refreshed exactly where the
+reference calls `exchange_xxx` (reference: src/mpi_exchanges.F:34-42).
+
+Two interchangeable halo backends:
+
+  * `periodic_fill` — single-block doubly-periodic wrap (in-array copies).
+  * `HaloExchange` on a 2D device mesh — inside `shard_map`, ghost strips are
+    exchanged with the 4 edge neighbors using two sequential axis sweeps of
+    `lax.ppermute` (x first, then y including the freshly filled corner
+    columns), which makes the 8-neighbor corner pattern of the reference
+    (reference: src/mpi_exchanges.F:672-800) collapse into 2 collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def shift(a: jax.Array, dj: int = 0, di: int = 0) -> jax.Array:
+    """Return array whose [.., j, i] element equals a[.., j+dj, i+di].
+
+    Implemented as a roll on the *padded* array: values are correct wherever
+    (j+dj, i+di) stays in bounds; out-of-range entries land in ghost zones,
+    which are refreshed by the next halo fill.  Stencil reach must not exceed
+    the halo width between fills — the reference's exchange placement
+    guarantees reach <= 2 and we mirror it call-for-call.
+    """
+    if dj == 0 and di == 0:
+        return a
+    return jnp.roll(a, shift=(-dj, -di), axis=(-2, -1))
+
+
+def periodic_fill(a: jax.Array, h: int = 2) -> jax.Array:
+    """Refresh ghost cells of a doubly-periodic single-block field.
+
+    Equivalent to the reference's periodic branch of exchange_xxx
+    (reference: src/mpi_exchanges.F periodic ghost-point copies).
+    X sweep first, then Y sweep including the x-ghost columns → corners
+    correct after two sweeps.
+    """
+    a = a.at[..., :, :h].set(a[..., :, -2 * h:-h])
+    a = a.at[..., :, -h:].set(a[..., :, h:2 * h])
+    a = a.at[..., :h, :].set(a[..., -2 * h:-h, :])
+    a = a.at[..., -h:, :].set(a[..., h:2 * h, :])
+    return a
+
+
+def edge_extrapolate_fill(a: jax.Array, h: int = 2,
+                          ew_periodic: bool = True,
+                          ns_periodic: bool = True) -> jax.Array:
+    """Periodic wrap on periodic axes; zero-gradient copy on closed axes."""
+    if ew_periodic:
+        a = a.at[..., :, :h].set(a[..., :, -2 * h:-h])
+        a = a.at[..., :, -h:].set(a[..., :, h:2 * h])
+    else:
+        a = a.at[..., :, :h].set(a[..., :, h:h + 1])
+        a = a.at[..., :, -h:].set(a[..., :, -h - 1:-h])
+    if ns_periodic:
+        a = a.at[..., :h, :].set(a[..., -2 * h:-h, :])
+        a = a.at[..., -h:, :].set(a[..., h:2 * h, :])
+    else:
+        a = a.at[..., :h, :].set(a[..., h:h + 1, :])
+        a = a.at[..., -h:, :].set(a[..., -h - 1:-h, :])
+    return a
+
+
+class HaloExchange:
+    """Distributed halo exchange over a 2D device mesh ('y', 'x').
+
+    Used *inside* shard_map: each device holds a local block padded with `h`
+    ghost cells.  `__call__` refreshes the ghosts from the 4 edge neighbors
+    via `lax.ppermute` ring permutations (periodic rings over the mesh axes),
+    corner-correct via the two-sweep order.  This is the TPU-native
+    replacement for the reference's 8-direction nonblocking MPI halo
+    exchange (reference: src/mpi_exchanges.F:672-800): edge transfers ride
+    the ICI neighbor links, and the corner messages are subsumed by sweeping
+    x before y.
+    """
+
+    def __init__(self, axis_x: str = "x", axis_y: str = "y", h: int = 2):
+        self.ax = axis_x
+        self.ay = axis_y
+        self.h = h
+
+    def _perm(self, axis_name, direction):
+        n = lax.axis_size(axis_name)
+        return [(i, (i + direction) % n) for i in range(n)]
+
+    def __call__(self, a: jax.Array) -> jax.Array:
+        h = self.h
+        # --- X sweep: send east strip to eastern neighbor's west ghost etc.
+        east_strip = a[..., :, -2 * h:-h]   # my interior east edge
+        west_strip = a[..., :, h:2 * h]     # my interior west edge
+        from_west = lax.ppermute(east_strip, self.ax, self._perm(self.ax, +1))
+        from_east = lax.ppermute(west_strip, self.ax, self._perm(self.ax, -1))
+        a = a.at[..., :, :h].set(from_west)
+        a = a.at[..., :, -h:].set(from_east)
+        # --- Y sweep (includes x ghosts → corners become correct)
+        north_strip = a[..., -2 * h:-h, :]
+        south_strip = a[..., h:2 * h, :]
+        from_south = lax.ppermute(north_strip, self.ay, self._perm(self.ay, +1))
+        from_north = lax.ppermute(south_strip, self.ay, self._perm(self.ay, -1))
+        a = a.at[..., :h, :].set(from_south)
+        a = a.at[..., -h:, :].set(from_north)
+        return a
+
+
+def make_halo_fill(cfg, distributed: bool = False):
+    """Return the halo-refresh function for this configuration."""
+    if distributed:
+        return HaloExchange(h=cfg.halo)
+    if cfg.fully_periodic:
+        return partial(periodic_fill, h=cfg.halo)
+    return partial(edge_extrapolate_fill, h=cfg.halo,
+                   ew_periodic=cfg.ew_periodic, ns_periodic=cfg.ns_periodic)

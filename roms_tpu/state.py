@@ -1,0 +1,106 @@
+"""Model state as an explicit immutable pytree.
+
+Replaces the reference's global module arrays (reference: src/ocean_vars.F,
+src/tracers.F, src/coupling.F) with a functional state threaded through the
+time step.  Time levels are explicit named fields instead of rotating
+indices:
+
+  reference                         here
+  ------------------------------    ------------------------------------
+  zeta(:,:,knew) after fast avg     zeta      (time n, = Zt_avg1 copy)
+  ubar/vbar(:,:,knew) after uv2     ubar,vbar (DU_avg1/D based)
+  u(:,:,:,nstp)                     u, v      (time n, m/s)
+  u(:,:,:,3-nstp) entering step     u_prev    (time n-1, m/s)
+  t(:,:,:,nstp,:)                   t         (nt, nz, ..) at n
+  t(:,:,:,3-nstp,:) entering step   t_prev    (n-1)
+  DU_avg1/2, DU_avg_bak             du_avg1, du_avg2, du_avg_bak
+  z_w, z_r, Hz                      z_w, z_r, hz (updated end of fast loop)
+  FlxU,FlxV / We,Wi / rho           flx_u.. (post-corrector, for diag)
+
+All horizontal fields padded with halo ghosts; 3D fields are (nz, jy, ix),
+w-type fields (nz+1, jy, ix), tracers (nt, nz, jy, ix).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from roms_tpu.config import ModelConfig
+
+
+@struct.dataclass
+class Forcing:
+    """Surface forcing fields (reference: src/surf_flux.F)."""
+    sustr: jax.Array   # kinematic wind stress at u [m^2/s^2]
+    svstr: jax.Array
+    stflx: jax.Array   # (nt, jy, ix) surface tracer fluxes
+    srflx: jax.Array   # shortwave radiation [degC m/s]
+    swflx: jax.Array   # freshwater (P-E) volume flux [m/s]
+
+
+@struct.dataclass
+class OceanState:
+    zeta: jax.Array
+    ubar: jax.Array
+    vbar: jax.Array
+    u: jax.Array
+    v: jax.Array
+    u_prev: jax.Array
+    v_prev: jax.Array
+    t: jax.Array
+    t_prev: jax.Array
+    # vertical grid (moves with zeta)
+    z_w: jax.Array
+    z_r: jax.Array
+    hz: jax.Array
+    # fast-averaged barotropic fluxes and their history
+    du_avg1: jax.Array
+    dv_avg1: jax.Array
+    du_avg2: jax.Array
+    dv_avg2: jax.Array
+    du_avg_bak: jax.Array
+    dv_avg_bak: jax.Array
+    # post-corrector diagnostics fields (time n+1/2 fluxes, n+1 density)
+    flx_u: jax.Array
+    flx_v: jax.Array
+    we: jax.Array
+    wi: jax.Array
+    rho: jax.Array
+    # vertical mixing coefficients (reference: src/mixing.F)
+    akv: jax.Array     # (nz+1, jy, ix)
+    akt: jax.Array     # (n_akt, nz+1, jy, ix)
+    # clock
+    iic: jax.Array     # int32 step counter
+    time: jax.Array    # model time [s]
+
+
+def zeros_state(cfg: ModelConfig, dtype=jnp.float64) -> OceanState:
+    h = cfg.halo
+    jy, ix = cfg.ny + 2 * h, cfg.nx + 2 * h
+    z2 = lambda: jnp.zeros((jy, ix), dtype)
+    z3 = lambda: jnp.zeros((cfg.nz, jy, ix), dtype)
+    zw = lambda: jnp.zeros((cfg.nz + 1, jy, ix), dtype)
+    zt = lambda: jnp.zeros((cfg.nt, cfg.nz, jy, ix), dtype)
+    return OceanState(
+        zeta=z2(), ubar=z2(), vbar=z2(),
+        u=z3(), v=z3(), u_prev=z3(), v_prev=z3(),
+        t=zt(), t_prev=zt(),
+        z_w=zw(), z_r=z3(), hz=z3(),
+        du_avg1=z2(), dv_avg1=z2(), du_avg2=z2(), dv_avg2=z2(),
+        du_avg_bak=z2(), dv_avg_bak=z2(),
+        flx_u=z3(), flx_v=z3(), we=zw(), wi=zw(), rho=z3(),
+        akv=zw(),
+        akt=jnp.zeros((cfg.i_t_and_s, cfg.nz + 1, jy, ix), dtype),
+        iic=jnp.zeros((), jnp.int32), time=jnp.zeros((), dtype),
+    )
+
+
+def zero_forcing(cfg: ModelConfig, dtype=jnp.float64) -> Forcing:
+    h = cfg.halo
+    jy, ix = cfg.ny + 2 * h, cfg.nx + 2 * h
+    z2 = lambda: jnp.zeros((jy, ix), dtype)
+    return Forcing(sustr=z2(), svstr=z2(),
+                   stflx=jnp.zeros((cfg.nt, jy, ix), dtype),
+                   srflx=z2(), swflx=z2())

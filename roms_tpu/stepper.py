@@ -1,0 +1,319 @@
+"""One baroclinic time step: LF-AM3 predictor/corrector with the
+forward-backward barotropic sub-cycle (reference: src/main.F:333-520,
+roms_step; predictor src/pre_step3d4S.F; corrector src/step3d_uv1.F,
+src/step3d_uv2.F, src/step3d_t_ISO.F).
+
+The whole function is pure `state -> state` and JIT-compiles into a single
+XLA program; `first_step` is a static flag selecting the startup coefficient
+regime (RK2-like start, reference: pre_step3d4S.F:126-134,
+set_global_definitions.h:328-342 FIRST_TIME_STEP).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from roms_tpu.config import ModelConfig
+from roms_tpu.grid import Grid
+from roms_tpu.ops import advection as adv
+from roms_tpu.ops import barotropic, eos, kinematics, vmix
+from roms_tpu.ops import prsgrd as prsgrd_mod
+from roms_tpu.ops.kinematics import hz_u, hz_v
+from roms_tpu.parallel.halo import make_halo_fill, shift
+from roms_tpu.state import Forcing, OceanState
+from roms_tpu import vcoord
+
+AM3_CRV = 1.0 / 6.0  # (reference: pre_step3d4S.F:83)
+
+
+def _uv_rhs(u, v, flx_u, flx_v, hz, we, grid, cfg: ModelConfig, scheme):
+    """Coriolis + horizontal + vertical momentum advection r.h.s. additions
+    (reference: compute_horiz_rhs_uv_terms.h + compute_vert_rhs_uv_terms.h)."""
+    ru = jnp.zeros_like(u)
+    rv = jnp.zeros_like(v)
+    if cfg.uv_cor or (cfg.curvgrid and cfg.uv_adv):
+        rc_u, rc_v = adv.coriolis_rhs(u, v, hz, grid, cfg)
+        ru = ru + rc_u
+        rv = rv + rc_v
+    if cfg.uv_adv:
+        ra_u, ra_v = adv.horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg, scheme)
+        ru = ru + ra_u
+        rv = rv + ra_v
+        ru = ru + adv.vert_uv_rhs_spline(u, hz, we, grid.umask, grid, cfg, "u")
+        rv = rv + adv.vert_uv_rhs_spline(v, hz, we, grid.vmask, grid, cfg, "v")
+    return ru, rv
+
+
+def _tracer_divergence(fx, fe, pmn):
+    return pmn[None] * (shift(fx, 0, 1) - fx + shift(fe, 1, 0) - fe)
+
+
+def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
+              cfg: ModelConfig, first_step: bool, halo) -> OceanState:
+    """Un-jitted step body with a pluggable halo backend: single-block
+    periodic wrap or `HaloExchange` (ppermute) inside shard_map."""
+    pmn = grid.pm * grid.pn
+    hz_n = state.hz            # grid-box heights at time n
+    zw_n, zr_n = state.z_w, state.z_r
+
+    # =====================================================================
+    # PREDICTOR STAGE (nrhs = n)  (reference: main.F:385-423)
+    # =====================================================================
+    eos_n = eos.rho_eos(state.t, zr_n, zw_n, hz_n, grid.rmask, cfg,
+                        need_bvf=cfg.lmd_kpp)
+    flx_u, flx_v = kinematics.set_huv(state.u, state.v, hz_n, grid)
+    flx_u, flx_v = halo(flx_u), halo(flx_v)
+    dtau_o = 0.5 * cfg.dt if first_step else 0.6 * cfg.dt  # (omega.F:66-73)
+    om = kinematics.omega(flx_u, flx_v, zw_n, hz_n, forcing.swflx, grid, dtau_o)
+    we, wi = halo(om.we), halo(om.wi)
+
+    ru_p, rv_p = prsgrd_mod.prsgrd(eos_n.rho, eos_n.rho1, eos_n.qp1,
+                                   zr_n, zw_n, hz_n, grid, cfg)
+
+    # ---- pre_step3d: LF-AM3 predictor to n+1/2 (pre_step3d4S.F:124-545)
+    if first_step:
+        dtau = 0.5 * cfg.dt
+        cf_stp, cf_bak = 1.0, 0.0
+    else:
+        dtau = cfg.dt * (1.0 - AM3_CRV)
+        cf_stp, cf_bak = 0.5 + AM3_CRV, 0.5 - AM3_CRV
+
+    flx_div = 0.5 * dtau * pmn[None] * (
+        shift(flx_u, 0, 1) - flx_u + shift(flx_v, 1, 0) - flx_v
+        + (we[1:] + wi[1:]) - (we[:-1] + wi[:-1]))
+    hz_bak = hz_n + flx_div
+    hz_fwd = hz_n - flx_div
+
+    # tracers → n+1/2 (constancy-preserving pseudo-compressible step)
+    t_half_list = []
+    for itrc in range(cfg.nt):
+        fx, fe = adv.horiz_tracer_flux(state.t[itrc], flx_u, flx_v, grid,
+                                       cfg, cfg.ts_pred_scheme)
+        t_rhs = (hz_bak * (cf_stp * state.t[itrc] + cf_bak * state.t_prev[itrc])
+                 - dtau * _tracer_divergence(fx, fe, pmn))
+        fc = adv.vert_tracer_flux_spline(state.t[itrc], hz_n, we)
+        t_rhs = t_rhs - dtau * pmn[None] * (fc[1:] - fc[:-1])
+        iakt = min(itrc, cfg.i_t_and_s - 1)
+        t_half_list.append(vmix.tracer_implicit(
+            t_rhs, hz_fwd, state.akt[iakt], wi, pmn, dtau, grid.rmask, cfg,
+            apply_mask=False))
+    t_half = jnp.stack(t_half_list, axis=0)
+    t_half = halo(t_half)  # (reference: pre_step3d4S.F:548)
+
+    # momentum predictor
+    ru, rv = _uv_rhs(state.u, state.v, flx_u, flx_v, hz_n, we, grid, cfg,
+                     cfg.uv_pred_scheme)
+    ru = ru_p + ru
+    rv = rv_p + rv
+    rd = vmix.bottom_drag(state.u, state.v, hz_n, cfg)
+
+    dc0_u = dtau * 0.25 * (grid.pm + shift(grid.pm, 0, -1)) * (
+        grid.pn + shift(grid.pn, 0, -1))
+    dc0_v = dtau * 0.25 * (grid.pm + shift(grid.pm, -1, 0)) * (
+        grid.pn + shift(grid.pn, -1, 0))
+    hzbak_u = 0.5 * (hz_bak + shift(hz_bak, 0, -1))
+    hzbak_v = 0.5 * (hz_bak + shift(hz_bak, -1, 0))
+    rhs_u = hzbak_u * (cf_stp * state.u + cf_bak * state.u_prev) + dc0_u[None] * ru
+    rhs_v = hzbak_v * (cf_stp * state.v + cf_bak * state.v_prev) + dc0_v[None] * rv
+    u_half = vmix.momentum_implicit(
+        rhs_u, 0.5 * (hz_fwd + shift(hz_fwd, 0, -1)),
+        0.5 * (state.akv + shift(state.akv, 0, -1)),
+        0.5 * (wi + shift(wi, 0, -1)), dc0_u, dtau, forcing.sustr, cfg,
+        bottom_drag_coeff=0.5 * (rd + shift(rd, 0, -1)))
+    v_half = vmix.momentum_implicit(
+        rhs_v, 0.5 * (hz_fwd + shift(hz_fwd, -1, 0)),
+        0.5 * (state.akv + shift(state.akv, -1, 0)),
+        0.5 * (wi + shift(wi, -1, 0)), dc0_v, dtau, forcing.svstr, cfg,
+        bottom_drag_coeff=0.5 * (rd + shift(rd, -1, 0)))
+
+    # ---- set_HUV1: remove barotropic mismatch, fluxes at n+1/2
+    # (reference: set_depth.F:252-422; exchanges at :414-419)
+    h1 = kinematics.set_huv1(u_half, v_half, hz_n,
+                             state.du_avg1, state.dv_avg1,
+                             state.du_avg2, state.dv_avg2,
+                             state.du_avg_bak, state.dv_avg_bak,
+                             grid, cfg, first_step)
+    u_half, v_half = halo(h1.u), halo(h1.v)
+    flx_u_h, flx_v_h = halo(h1.flx_u), halo(h1.flx_v)
+
+    # =====================================================================
+    # CORRECTOR STAGE (nrhs = n+1/2)  (reference: main.F:425-450)
+    # =====================================================================
+    om = kinematics.omega(flx_u_h, flx_v_h, zw_n, hz_n, forcing.swflx, grid,
+                          cfg.dt)
+    we, wi = halo(om.we), halo(om.wi)
+    eos_h = eos.rho_eos(t_half, zr_n, zw_n, hz_n, grid.rmask, cfg,
+                        need_bvf=cfg.lmd_kpp)
+    ru_p, rv_p = prsgrd_mod.prsgrd(eos_h.rho, eos_h.rho1, eos_h.qp1,
+                                   zr_n, zw_n, hz_n, grid, cfg)
+
+    # ---- step3d_uv1: corrector r.h.s. + implicit vertical solve
+    # (reference: step3d_uv1.F:123-297, IMPLICIT_BOTTOM_DRAG branch)
+    ru, rv = _uv_rhs(u_half, v_half, flx_u_h, flx_v_h, hz_n, we, grid, cfg,
+                     cfg.uv_corr_scheme)
+    ru = ru_p + ru
+    rv = rv_p + rv
+
+    hzu_n = hz_u(hz_n)
+    hzv_n = hz_v(hz_n)
+    dc0_u_c = cfg.dt * 0.25 * (grid.pm + shift(grid.pm, 0, -1)) * (
+        grid.pn + shift(grid.pn, 0, -1))
+    dc0_v_c = cfg.dt * 0.25 * (grid.pm + shift(grid.pm, -1, 0)) * (
+        grid.pn + shift(grid.pn, -1, 0))
+    rd_u = 0.5 * (rd + shift(rd, 0, -1))
+    rd_v = 0.5 * (rd + shift(rd, -1, 0))
+    vel_u = vmix.momentum_implicit(
+        hzu_n * state.u + dc0_u_c[None] * ru, hzu_n,
+        0.5 * (state.akv + shift(state.akv, 0, -1)),
+        0.5 * (wi + shift(wi, 0, -1)), dc0_u_c, cfg.dt, forcing.sustr, cfg,
+        bottom_drag_coeff=rd_u)
+    vel_v = vmix.momentum_implicit(
+        hzv_n * state.v + dc0_v_c[None] * rv, hzv_n,
+        0.5 * (state.akv + shift(state.akv, -1, 0)),
+        0.5 * (wi + shift(wi, -1, 0)), dc0_v_c, cfg.dt, forcing.svstr, cfg,
+        bottom_drag_coeff=rd_v)
+    hzu_new = vel_u * hzu_n       # Hz-weighted provisional u (u(:,:,:,nnew))
+    hzv_new = vel_v * hzv_n
+    # 3D→2D forcing integrals (reference: step3d_uv1.F:194-205, :269-279)
+    rufrc = jnp.sum(ru, axis=0) + grid.dm_u * grid.dn_u * (
+        forcing.sustr - rd_u * vel_u[0])
+    rvfrc = jnp.sum(rv, axis=0) + grid.dm_v * grid.dn_v * (
+        forcing.svstr - rd_v * vel_v[0])
+
+    # ---- visc3d: lateral harmonic viscosity (reference: src/visc3d_S.F)
+    if cfg.uv_vis2 and cfg.visc2 != 0.0:
+        from roms_tpu.ops.hmix import visc3d
+        du_v, dv_v, dru, drv = visc3d(state.u, state.v, hz_n, grid, cfg)
+        hzu_new = hzu_new + cfg.dt * du_v
+        hzv_new = hzv_new + cfg.dt * dv_v
+        rufrc = rufrc + dru
+        rvfrc = rvfrc + drv
+
+    # =====================================================================
+    # BAROTROPIC SUB-CYCLE  (reference: main.F:456-464, step2d_FB.F)
+    # =====================================================================
+    fast = barotropic.fast_loop(
+        state.zeta, state.ubar, state.vbar, rufrc, rvfrc,
+        eos_h.rho_s, eos_h.rho_a, forcing.swflx,
+        state.du_avg1, state.dv_avg1, state.du_avg2, state.dv_avg2,
+        w1, w2, grid, cfg, halo)
+    zeta_new = fast["zeta"]
+
+    # new vertical grid from the fast-averaged free surface
+    # (reference: step2d_FB.F:563-570 → set_depth_tile)
+    zw_new, zr_new, hz_new = vcoord.set_depth(zeta_new, grid.h, grid.hinv,
+                                              grid.cs_w, grid.cs_r,
+                                              cfg.hc, cfg.nz)
+    zw_new = halo(zw_new)
+    zr_new = halo(zr_new)
+    hz_new = halo(hz_new)
+
+    # =====================================================================
+    # step3d_uv2: couple 3D momentum to the barotropic mode
+    # (reference: step3d_uv2.F:82-786)
+    # =====================================================================
+    hzu_nn = hz_u(hz_new)
+    hzv_nn = hz_v(hz_new)
+    # part (a): first mismatch correction (coupling-only branch,
+    # reference: step3d_uv2.F:244-268, :374-398)
+    cf0_u = jnp.sum(hzu_nn, axis=0)
+    dcol_u = jnp.sum(hzu_new, axis=0)
+    u_tmp = hzu_new / hzu_nn
+    mis_u = (dcol_u * grid.dn_u - fast["du_avg1"]) / (cf0_u * grid.dn_u)
+    u_new = u_tmp - mis_u[None]
+    cf0_v = jnp.sum(hzv_nn, axis=0)
+    dcol_v = jnp.sum(hzv_new, axis=0)
+    v_tmp = hzv_new / hzv_nn
+    mis_v = (dcol_v * grid.dm_v - fast["dv_avg1"]) / (cf0_v * grid.dm_v)
+    v_new = v_tmp - mis_v[None]
+    if cfg.masking:
+        u_new = u_new * grid.umask[None]
+        v_new = v_new * grid.vmask[None]
+
+    # physical boundary conditions (u3dbc/v3dbc) would go here.
+
+    # part (b): recompute vertical integrals, barotropic replacement and
+    # the n+1/2 flux correction (reference: step3d_uv2.F:521-621)
+    dcu = hzu_nn * grid.dn_u[None]
+    dcv = hzv_nn * grid.dm_v[None]
+    inv_du = 1.0 / jnp.sum(dcu, axis=0)
+    inv_dv = 1.0 / jnp.sum(dcv, axis=0)
+    ubar_new = inv_du * fast["du_avg1"]
+    vbar_new = inv_dv * fast["dv_avg1"]
+    fc_u = inv_du * (jnp.sum(dcu * u_new, axis=0) - fast["du_avg1"])
+    fc_v = inv_dv * (jnp.sum(dcv * v_new, axis=0) - fast["dv_avg1"])
+    u_new = u_new - fc_u[None]
+    v_new = v_new - fc_v[None]
+    if cfg.masking:
+        u_new = u_new * grid.umask[None]
+        v_new = v_new * grid.vmask[None]
+    dlt, eps = cfg.coup_delta, cfg.coup_epsil
+    cf_u = dlt * flx_u_h + eps * dcu * (state.u + u_new)
+    cf_v = dlt * flx_v_h + eps * dcv * (state.v + v_new)
+    mis2_u = inv_du * (jnp.sum(cf_u, axis=0) - fast["du_avg2"])
+    mis2_v = inv_dv * (jnp.sum(cf_v, axis=0) - fast["dv_avg2"])
+    flx_u_c = cf_u - dcu * mis2_u[None]
+    flx_v_c = cf_v - dcv * mis2_v[None]
+
+    u_new, v_new = halo(u_new), halo(v_new)
+    flx_u_c, flx_v_c = halo(flx_u_c), halo(flx_v_c)
+    ubar_new, vbar_new = halo(ubar_new), halo(vbar_new)
+
+    # =====================================================================
+    # TRACER CORRECTOR (reference: main.F:469-473, step3d_t_ISO.F)
+    # =====================================================================
+    om = kinematics.omega(flx_u_c, flx_v_c, zw_new, hz_new, forcing.swflx,
+                          grid, cfg.dt)
+    we, wi = halo(om.we), halo(om.wi)
+
+    t_new_list = []
+    for itrc in range(cfg.nt):
+        fx, fe = adv.horiz_tracer_flux(t_half[itrc], flx_u_c, flx_v_c, grid,
+                                       cfg, cfg.ts_corr_scheme)
+        t_rhs = hz_n * state.t[itrc] - cfg.dt * _tracer_divergence(fx, fe, pmn)
+        fc = adv.vert_tracer_flux_spline(t_half[itrc], hz_new, we)
+        t_rhs = t_rhs - cfg.dt * pmn[None] * (fc[1:] - fc[:-1])
+        # surface forcing flux (reference: step3d_t_ISO.F:956-959)
+        t_rhs = t_rhs.at[-1].add(cfg.dt * forcing.stflx[itrc])
+        if itrc == cfg.itemp:
+            # rain-heat (swflx) and solar penetration terms are zero
+            # without BULK_FRC/LMD_KPP; add here when enabled.
+            pass
+        iakt = min(itrc, cfg.i_t_and_s - 1)
+        t_new_k = vmix.tracer_implicit(
+            t_rhs, hz_new, state.akt[iakt], wi, pmn, cfg.dt, grid.rmask, cfg,
+            apply_mask=True)
+        t_new_list.append(t_new_k)
+    t_new = jnp.stack(t_new_list, axis=0)
+
+    # t3dmix lateral diffusion (reference: src/t3dmix_S.F, TS_DIF2)
+    if cfg.ts_dif2 and cfg.tnu2 != 0.0:
+        from roms_tpu.ops.hmix import t3dmix
+        t_new = t3dmix(t_new, t_half, hz_new, grid, cfg)
+
+    t_new = halo(t_new)  # (reference: step3d_t_ISO.F:1167-1177)
+
+    # final density for diagnostics/output (reference: main.F:479)
+    eos_new = eos.rho_eos(t_new, zr_new, zw_new, hz_new, grid.rmask, cfg)
+
+    return state.replace(
+        zeta=zeta_new, ubar=ubar_new, vbar=vbar_new,
+        u=u_new, v=v_new, u_prev=state.u, v_prev=state.v,
+        t=t_new, t_prev=state.t,
+        z_w=zw_new, z_r=zr_new, hz=hz_new,
+        du_avg1=fast["du_avg1"], dv_avg1=fast["dv_avg1"],
+        du_avg2=fast["du_avg2"], dv_avg2=fast["dv_avg2"],
+        du_avg_bak=fast["du_avg_bak"], dv_avg_bak=fast["dv_avg_bak"],
+        flx_u=flx_u_c, flx_v=flx_v_c, we=we, wi=wi, rho=eos_new.rho,
+        iic=state.iic + 1, time=state.time + cfg.dt)
+
+
+@partial(jax.jit, static_argnames=("cfg", "first_step"))
+def step(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
+         cfg: ModelConfig, first_step: bool) -> OceanState:
+    """Single-block step (periodic / physical-boundary halo wrap)."""
+    return step_impl(state, forcing, grid, w1, w2, cfg, first_step,
+                     make_halo_fill(cfg))

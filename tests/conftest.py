@@ -1,0 +1,17 @@
+import os
+
+# Correctness tests run on CPU in float64 (the reference is all-f64,
+# reference: set_global_definitions.h:128-134) with a virtual 8-device mesh
+# for the distributed tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the big stepper program compiles once per machine
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_roms_tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
