@@ -93,6 +93,12 @@ class ModelConfig:
     uv_pred_scheme: AdvScheme = AdvScheme.CENTERED4
     uv_corr_scheme: AdvScheme = AdvScheme.UPSTREAM3
 
+    # ---- boundary conditions ----------------------------------------------
+    gamma2: float = 1.0  # tangential wall slipperiness: +1 free-slip,
+    #                      -1 no-slip (reference: roms.in "gamma2")
+    river_source: bool = False  # RIVER_SOURCE point sources
+    pipe_source: bool = False   # PIPE_SOURCE submerged sources
+
     # ---- halo -------------------------------------------------------------
     halo: int = 2  # ghost cells per side (reference: set_global_definitions.h:146)
 

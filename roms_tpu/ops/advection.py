@@ -36,6 +36,11 @@ def horiz_tracer_flux(tk, flx_u, flx_v, grid, cfg: ModelConfig, scheme: AdvSchem
     dx = tk - shift(tk, 0, -1)
     if cfg.masking:
         dx = dx * grid.umask[None]
+    if not cfg.ew_periodic:
+        # extrapolate elementary differences at the physical edges
+        # (reference: compute_horiz_tracer_fluxes.h:74-83)
+        dx = dx.at[..., :, 1].set(dx[..., :, 2])
+        dx = dx.at[..., :, -1].set(dx[..., :, -2])
     if scheme is AdvScheme.UPSTREAM3:
         curv = shift(dx, 0, 1) - dx
         fx = (0.5 * (tk + shift(tk, 0, -1)) * flx_u
@@ -54,6 +59,10 @@ def horiz_tracer_flux(tk, flx_u, flx_v, grid, cfg: ModelConfig, scheme: AdvSchem
     de = tk - shift(tk, -1, 0)
     if cfg.masking:
         de = de * grid.vmask[None]
+    if not cfg.ns_periodic:
+        # (reference: compute_horiz_tracer_fluxes.h:155-164)
+        de = de.at[..., 1, :].set(de[..., 2, :])
+        de = de.at[..., -1, :].set(de[..., -2, :])
     if scheme is AdvScheme.UPSTREAM3:
         curv = shift(de, 1, 0) - de
         fe = (0.5 * (tk + shift(tk, -1, 0)) * flx_v
@@ -91,9 +100,25 @@ def horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg: ModelConfig, scheme: AdvScheme):
     (reference: compute_horiz_rhs_uv_terms.h:42-291)."""
     upstream = scheme is AdvScheme.UPSTREAM3
 
+    def fix_we(a, dst_w=2, src_w=3, dst_e=-2, src_e=-3):
+        """Physical-edge extrapolation of second differences
+        (reference: compute_horiz_rhs_uv_terms.h:71-84 etc.)."""
+        if not cfg.ew_periodic:
+            a = a.at[..., :, dst_w].set(a[..., :, src_w])
+            a = a.at[..., :, dst_e].set(a[..., :, src_e])
+        return a
+
+    def fix_ns(a, dst_s=2, src_s=3, dst_n=-2, src_n=-3):
+        if not cfg.ns_periodic:
+            a = a.at[..., dst_s, :].set(a[..., src_s, :])
+            a = a.at[..., dst_n, :].set(a[..., src_n, :])
+        return a
+
     # UFx: diagonal u-flux at rho points (reference: :65-101)
     uxx = shift(u, 0, -1) - 2.0 * u + shift(u, 0, 1)
     huxx = shift(flx_u, 0, -1) - 2.0 * flx_u + shift(flx_u, 0, 1)
+    uxx = fix_we(uxx)      # u-point Fortran 1 <- 2 / nx+1 <- nx
+    huxx = fix_we(huxx)
     if upstream:
         cff = flx_u + shift(flx_u, 0, 1) - DELTA_UV * (huxx + shift(huxx, 0, 1))
         ufx = 0.25 * (cff * (u + shift(u, 0, 1))
@@ -107,6 +132,8 @@ def horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg: ModelConfig, scheme: AdvScheme):
     # VFe: diagonal v-flux at rho points (reference: :122-158)
     vee = shift(v, -1, 0) - 2.0 * v + shift(v, 1, 0)
     hvee = shift(flx_v, -1, 0) - 2.0 * flx_v + shift(flx_v, 1, 0)
+    vee = fix_ns(vee)      # v-point Fortran 1 <- 2 / ny+1 <- ny
+    hvee = fix_ns(hvee)
     if upstream:
         cff = flx_v + shift(flx_v, 1, 0) - DELTA_UV * (hvee + shift(hvee, 1, 0))
         vfe = 0.25 * (cff * (v + shift(v, 1, 0))
@@ -119,6 +146,7 @@ def horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg: ModelConfig, scheme: AdvScheme):
 
     # UFe: off-diagonal u-flux at psi points (reference: :179-217)
     uee = shift(u, -1, 0) - 2.0 * u + shift(u, 1, 0)
+    uee = fix_ns(uee, dst_s=1, src_s=2, dst_n=-2, src_n=-3)
     hvxx = shift(flx_v, 0, -1) - 2.0 * flx_v + shift(flx_v, 0, 1)
     if upstream:
         cff = flx_v + shift(flx_v, 0, -1) - DELTA_UV * (hvxx + shift(hvxx, 0, -1))
@@ -132,6 +160,7 @@ def horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg: ModelConfig, scheme: AdvScheme):
 
     # VFx: off-diagonal v-flux at psi points (reference: :238-276)
     vxx = shift(v, 0, -1) - 2.0 * v + shift(v, 0, 1)
+    vxx = fix_we(vxx, dst_w=1, src_w=2, dst_e=-2, src_e=-3)
     huee = shift(flx_u, -1, 0) - 2.0 * flx_u + shift(flx_u, 1, 0)
     if upstream:
         cff = flx_u + shift(flx_u, -1, 0) - DELTA_UV * (huee + shift(huee, -1, 0))

@@ -19,10 +19,36 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from roms_tpu.config import ModelConfig
+from roms_tpu.ops import bc
+from roms_tpu.ops import rivers as rivers_mod
 from roms_tpu.parallel.halo import shift
+
+
+def _interior_mask(shape, cfg: ModelConfig, stagger: str):
+    """Static mask of points updated by the interior fast-averaging
+    formula; the complement gets the boundary-strip formula
+    (reference: step2d_FB.F:407-439 interior vs :474-528 edge strips)."""
+    jy, ix = shape
+    m = np.ones(shape, bool)
+    if stagger == "u":
+        if not cfg.ew_periodic:
+            m[:, :3] = False          # west of Fortran istrU=2
+            m[:, ix - 2:] = False     # east of Fortran iend=nx
+        if not cfg.ns_periodic:
+            m[:2, :] = False
+            m[jy - 2:, :] = False
+    else:
+        if not cfg.ns_periodic:
+            m[:3, :] = False
+            m[jy - 2:, :] = False
+        if not cfg.ew_periodic:
+            m[:, :2] = False
+            m[:, ix - 2:] = False
+    return m
 
 # AB3-AM4 coefficient regimes (reference: step2d_FB.F:77-100)
 FB_FIRST = dict(fwd=1.0, fwd1=0.0, fwd2=0.0,
@@ -91,7 +117,7 @@ def _pg_rubar(rzeta, rzeta2, rzeta_sa, zwrk, rho_a, h, grid, cfg: ModelConfig):
 
 
 def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
-            swflx, grid, cfg: ModelConfig, halo_fill, first: bool,
+            forcing, grid, cfg: ModelConfig, halo_fill, first: bool,
             du_avg_bak=None, dv_avg_bak=None):
     """One barotropic sub-step (reference: step2d_FB.F:102-574).
 
@@ -115,20 +141,18 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     # --- free surface update (reference: :150-178)
     zeta_new = (fs.z_stp + dtfast * grid.pm * grid.pn
                 * (duon - shift(duon, 0, 1) + dvom - shift(dvom, 1, 0))
-                + dtfast * swflx)
+                + dtfast * forcing.swflx)
     if cfg.masking:
         zeta_new = zeta_new * grid.rmask
+    # free-surface physical boundary conditions (reference: :184)
+    zeta_new = bc.zetabc(zeta_new, grid, cfg)
     dnew = zeta_new + h
     zwrk = (bkw_new * zeta_new + bkw * fs.z_stp
             + bkw1 * fs.z_bak + bkw2 * fs.z_old)
     rzeta, rzeta2, rzeta_sa = _pg_terms(zwrk, rho_s, rho_a, h, grid, cfg)
 
-    # boundary conditions for zeta would go here (zetabc); fully-periodic
-    # configs need only the halo refresh below.
-
     # --- fast-time averaging (reference: :199-234)
     if first:
-        du_avg_bak_new = du_avg1_prev_minus = None  # set below
         zt_avg1 = w1 * zeta_new
         du_avg2 = w2 * duon
         dv_avg2 = w2 * dvom
@@ -180,20 +204,39 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     ubar_new = du_new / (dnew + dnew_w)
     vbar_new = dv_new / (dnew + dnew_s)
 
+    # physical boundary conditions (reference: :444-445)
+    ubar_new = bc.u_momentum_bc(ubar_new, grid, cfg)
+    vbar_new = bc.v_momentum_bc(vbar_new, grid, cfg)
+
+    # fast-time flux averaging: interior formula from DUnew, boundary
+    # strips from the BC'd ubar (reference: :420-437 vs :474-528)
+    incr_u = cff1 * grid.dn_u * du_new
+    incr_v = cff1 * grid.dm_v * dv_new
+    if not cfg.fully_periodic:
+        mu = jnp.asarray(_interior_mask(du_new.shape, cfg, "u"))
+        mv = jnp.asarray(_interior_mask(dv_new.shape, cfg, "v"))
+        edge_u = cff1 * (dnew + dnew_w) * ubar_new * grid.dn_u
+        edge_v = cff1 * (dnew + dnew_s) * vbar_new * grid.dm_v
+        incr_u = jnp.where(mu, incr_u, edge_u)
+        incr_v = jnp.where(mv, incr_v, edge_v)
+
     if first:
         # EXTRAP_BAR_FLUXES history shift (reference: :205-223)
         du_avg_bak_new = fs.du_avg1 - BAK_RATIO * fs.du_avg2
         dv_avg_bak_new = fs.dv_avg1 - BAK_RATIO * fs.dv_avg2
-        du_avg1 = cff1 * grid.dn_u * du_new
-        dv_avg1 = cff1 * grid.dm_v * dv_new
+        du_avg1 = incr_u
+        dv_avg1 = incr_v
     else:
         du_avg_bak_new = du_avg_bak
         dv_avg_bak_new = dv_avg_bak
-        du_avg1 = fs.du_avg1 + cff1 * grid.dn_u * du_new
-        dv_avg1 = fs.dv_avg1 + cff1 * grid.dm_v * dv_new
+        du_avg1 = fs.du_avg1 + incr_u
+        dv_avg1 = fs.dv_avg1 + incr_v
 
-    # u2dbc/v2dbc physical boundary conditions would go here; periodic
-    # configs only need the halo refresh (reference: :444-445, :573).
+    # river barotropic overwrite (reference: :531-554)
+    if cfg.river_source:
+        ubar_new, vbar_new, du_avg1, dv_avg1 = rivers_mod.overwrite_barotropic(
+            ubar_new, vbar_new, du_avg1, dv_avg1, dnew, forcing, grid)
+
     zeta_new = halo_fill(zeta_new)
     ubar_new = halo_fill(ubar_new)
     vbar_new = halo_fill(vbar_new)
@@ -209,7 +252,7 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     return fs_new
 
 
-def fast_loop(zeta0, ubar0, vbar0, rufrc, rvfrc, rho_s, rho_a, swflx,
+def fast_loop(zeta0, ubar0, vbar0, rufrc, rvfrc, rho_s, rho_a, forcing,
               du_avg1_in, dv_avg1_in, du_avg2_in, dv_avg2_in,
               w1, w2, grid, cfg: ModelConfig, halo_fill):
     """Run all nfast barotropic sub-steps (reference: main.F:456-464).
@@ -229,16 +272,16 @@ def fast_loop(zeta0, ubar0, vbar0, rufrc, rvfrc, rho_s, rho_a, swflx,
 
     # sub-step 1: FE/backward + forcing conversion + PGF correction
     fs, (rufrc, rvfrc, du_avg_bak, dv_avg_bak) = substep(
-        fs, FB_FIRST, w1[0], w2[0], rufrc, rvfrc, rho_s, rho_a, swflx,
+        fs, FB_FIRST, w1[0], w2[0], rufrc, rvfrc, rho_s, rho_a, forcing,
         grid, cfg, halo_fill, first=True)
     # sub-step 2: AB2-AM3
     fs = substep(fs, FB_SECOND, w1[1], w2[1], rufrc, rvfrc, rho_s, rho_a,
-                 swflx, grid, cfg, halo_fill, first=False)
+                 forcing, grid, cfg, halo_fill, first=False)
 
     # sub-steps 3..nfast: AB3-AM4 under one scan
     def body(fs, w):
         fs = substep(fs, FB_GENERAL, w[0], w[1], rufrc, rvfrc, rho_s, rho_a,
-                     swflx, grid, cfg, halo_fill, first=False)
+                     forcing, grid, cfg, halo_fill, first=False)
         return fs, None
 
     ws = jnp.stack([w1[2:], w2[2:]], axis=1)

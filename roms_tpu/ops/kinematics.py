@@ -85,7 +85,8 @@ _CUTOFF = 2.0 - _CMNX
 _R4CMX = 0.25 / (1.0 - _CMNX)
 
 
-def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float) -> OmegaOut:
+def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float,
+          cfg: ModelConfig = None) -> OmegaOut:
     """S-coordinate vertical velocity [m^3/s] with adaptive explicit/implicit
     split by vertical Courant number (reference: src/omega.F:17-169).
 
@@ -123,4 +124,23 @@ def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float) -> OmegaOut:
     zero = jnp.zeros_like(wrk)[None]
     we = jnp.concatenate([zero, we_mid, zero], axis=0)
     wi = jnp.concatenate([zero, wi_mid, zero], axis=0)
+
+    # physical-edge ghost copies incl. corners (reference: omega.F:171-231)
+    if cfg is not None and not cfg.fully_periodic:
+        def edge_copy(a):
+            if not cfg.ew_periodic:
+                a = a.at[..., :, 1].set(a[..., :, 2])
+                a = a.at[..., :, -2].set(a[..., :, -3])
+            if not cfg.ns_periodic:
+                a = a.at[..., 1, :].set(a[..., 2, :])
+                a = a.at[..., -2, :].set(a[..., -3, :])
+            if not cfg.ew_periodic and not cfg.ns_periodic:
+                a = a.at[..., 1, 1].set(a[..., 2, 2])
+                a = a.at[..., 1, -2].set(a[..., 2, -3])
+                a = a.at[..., -2, 1].set(a[..., -3, 2])
+                a = a.at[..., -2, -2].set(a[..., -3, -3])
+            return a
+
+        we = edge_copy(we)
+        wi = edge_copy(wi)
     return OmegaOut(we=we, wi=wi)

@@ -108,6 +108,19 @@ def prsgrd(rho, rho1, qp1, z_r, z_w, hz, grid, cfg: ModelConfig, ptide=None):
         if cfg.masking:
             rx = rx * mask
 
+        # extrapolate elementary differences near physical boundaries
+        # (reference: prsgrd.F:256-269, :369-382)
+        if ax == 1 and not cfg.ew_periodic:
+            FC = FC.at[..., :, 2].set(FC[..., :, 3])
+            FC = FC.at[..., :, -2].set(FC[..., :, -3])
+            rx = rx.at[..., :, 2].set(rx[..., :, 3])
+            rx = rx.at[..., :, -2].set(rx[..., :, -3])
+        if ax == 0 and not cfg.ns_periodic:
+            FC = FC.at[..., 2, :].set(FC[..., 3, :])
+            FC = FC.at[..., -2, :].set(FC[..., -3, :])
+            rx = rx.at[..., 2, :].set(rx[..., 3, :])
+            rx = rx.at[..., -2, :].set(rx[..., -3, :])
+
         # horizontal harmonic averages are both zero-guarded
         # (reference: prsgrd.F:271-290, epsil=0)
         dZx = _harmonic(FC, sh(FC, 1), guard=True)

@@ -55,22 +55,20 @@ def periodic_fill(a: jax.Array, h: int = 2) -> jax.Array:
     return a
 
 
-def edge_extrapolate_fill(a: jax.Array, h: int = 2,
-                          ew_periodic: bool = True,
-                          ns_periodic: bool = True) -> jax.Array:
-    """Periodic wrap on periodic axes; zero-gradient copy on closed axes."""
+def mixed_fill(a: jax.Array, h: int = 2,
+               ew_periodic: bool = True,
+               ns_periodic: bool = True) -> jax.Array:
+    """Wrap ghost cells on the periodic axes only.  Ghost zones along
+    closed (physical-boundary) axes are left untouched: they are maintained
+    by the boundary-condition kernels and by the extended-range pointwise
+    computations, exactly as in the reference where exchange_xxx never
+    touches physical edges (reference: src/mpi_exchanges.F)."""
     if ew_periodic:
         a = a.at[..., :, :h].set(a[..., :, -2 * h:-h])
         a = a.at[..., :, -h:].set(a[..., :, h:2 * h])
-    else:
-        a = a.at[..., :, :h].set(a[..., :, h:h + 1])
-        a = a.at[..., :, -h:].set(a[..., :, -h - 1:-h])
     if ns_periodic:
         a = a.at[..., :h, :].set(a[..., -2 * h:-h, :])
         a = a.at[..., -h:, :].set(a[..., h:2 * h, :])
-    else:
-        a = a.at[..., :h, :].set(a[..., h:h + 1, :])
-        a = a.at[..., -h:, :].set(a[..., -h - 1:-h, :])
     return a
 
 
@@ -121,5 +119,5 @@ def make_halo_fill(cfg, distributed: bool = False):
         return HaloExchange(h=cfg.halo)
     if cfg.fully_periodic:
         return partial(periodic_fill, h=cfg.halo)
-    return partial(edge_extrapolate_fill, h=cfg.halo,
+    return partial(mixed_fill, h=cfg.halo,
                    ew_periodic=cfg.ew_periodic, ns_periodic=cfg.ns_periodic)

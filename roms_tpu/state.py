@@ -30,14 +30,24 @@ from flax import struct
 from roms_tpu.config import ModelConfig
 
 
+from typing import Optional
+
+
 @struct.dataclass
 class Forcing:
-    """Surface forcing fields (reference: src/surf_flux.F)."""
+    """Surface forcing fields (reference: src/surf_flux.F) plus point
+    sources (reference: src/river_frc.F, src/pipe_frc.F)."""
     sustr: jax.Array   # kinematic wind stress at u [m^2/s^2]
     svstr: jax.Array
     stflx: jax.Array   # (nt, jy, ix) surface tracer fluxes
     srflx: jax.Array   # shortwave radiation [degC m/s]
     swflx: jax.Array   # freshwater (P-E) volume flux [m/s]
+    # rivers: face fluxes encode river id and fraction as
+    # +-frac/faces + 10*id (reference: river_frc.F:240-280)
+    riv_uflx: Optional[jax.Array] = None
+    riv_vflx: Optional[jax.Array] = None
+    riv_vol: Optional[jax.Array] = None   # (nriv+1,) volume flux [m^3/s]
+    riv_trc: Optional[jax.Array] = None   # (nriv+1, nt) tracer conc.
 
 
 @struct.dataclass
@@ -71,6 +81,11 @@ class OceanState:
     # vertical mixing coefficients (reference: src/mixing.F)
     akv: jax.Array     # (nz+1, jy, ix)
     akt: jax.Array     # (n_akt, nz+1, jy, ix)
+    # KPP boundary layer state (reference: src/mixing.F hbls/hbbl,
+    # src/lmd_swr_frac.F swr_frac computed once at init)
+    hbls: jax.Array
+    hbbl: jax.Array
+    swrf: jax.Array    # (nz+1, jy, ix)
     # clock
     iic: jax.Array     # int32 step counter
     time: jax.Array    # model time [s]
@@ -93,6 +108,7 @@ def zeros_state(cfg: ModelConfig, dtype=jnp.float64) -> OceanState:
         flx_u=z3(), flx_v=z3(), we=zw(), wi=zw(), rho=z3(),
         akv=zw(),
         akt=jnp.zeros((cfg.i_t_and_s, cfg.nz + 1, jy, ix), dtype),
+        hbls=z2(), hbbl=z2(), swrf=zw(),
         iic=jnp.zeros((), jnp.int32), time=jnp.zeros((), dtype),
     )
 

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 from roms_tpu.config import ModelConfig
 from roms_tpu.grid import Grid
 from roms_tpu.ops import advection as adv
-from roms_tpu.ops import barotropic, eos, kinematics, vmix
+from roms_tpu.ops import barotropic, bc, eos, kinematics, vmix
 from roms_tpu.ops import prsgrd as prsgrd_mod
+from roms_tpu.ops import rivers as rivers_mod
 from roms_tpu.ops.kinematics import hz_u, hz_v
 from roms_tpu.parallel.halo import make_halo_fill, shift
 from roms_tpu.state import Forcing, OceanState
@@ -51,6 +52,17 @@ def _tracer_divergence(fx, fe, pmn):
     return pmn[None] * (shift(fx, 0, 1) - fx + shift(fe, 1, 0) - fe)
 
 
+def _vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
+                 cfg: ModelConfig, first_step: bool):
+    """lmd_vmix + lmd_kpp at one time level (reference: main.F:408-410,
+    :434-436; src/lmd_vmix.F + src/lmd_kpp.F)."""
+    from roms_tpu.ops import kpp
+    kv, kt, ks = kpp.interior_mix(u, v, bvf, z_r, z_w, grid, cfg)
+    out = kpp.lmd_kpp(u, v, t, bvf, z_r, z_w, hz, kv, kt, ks, state.swrf,
+                      forcing, state.hbls, state.hbbl, grid, cfg, first_step)
+    return out
+
+
 def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
               cfg: ModelConfig, first_step: bool, halo) -> OceanState:
     """Un-jitted step body with a pluggable halo backend: single-block
@@ -58,6 +70,9 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     pmn = grid.pm * grid.pn
     hz_n = state.hz            # grid-box heights at time n
     zw_n, zr_n = state.z_w, state.z_r
+    akv, akt = state.akv, state.akt
+    hbls, hbbl = state.hbls, state.hbbl
+    ghat = None
 
     # =====================================================================
     # PREDICTOR STAGE (nrhs = n)  (reference: main.F:385-423)
@@ -67,8 +82,15 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     flx_u, flx_v = kinematics.set_huv(state.u, state.v, hz_n, grid)
     flx_u, flx_v = halo(flx_u), halo(flx_v)
     dtau_o = 0.5 * cfg.dt if first_step else 0.6 * cfg.dt  # (omega.F:66-73)
-    om = kinematics.omega(flx_u, flx_v, zw_n, hz_n, forcing.swflx, grid, dtau_o)
+    om = kinematics.omega(flx_u, flx_v, zw_n, hz_n, forcing.swflx, grid,
+                          dtau_o, cfg)
     we, wi = halo(om.we), halo(om.wi)
+
+    if cfg.lmd_kpp:
+        vm = _vmix_update(state, state.u, state.v, state.t, eos_n.bvf,
+                          zr_n, zw_n, hz_n, forcing, grid, cfg, first_step)
+        akv, akt, hbls, hbbl = vm.akv, vm.akt, vm.hbls, vm.hbbl
+        akv, akt = halo(akv), halo(akt)
 
     ru_p, rv_p = prsgrd_mod.prsgrd(eos_n.rho, eos_n.rho1, eos_n.qp1,
                                    zr_n, zw_n, hz_n, grid, cfg)
@@ -92,16 +114,18 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     for itrc in range(cfg.nt):
         fx, fe = adv.horiz_tracer_flux(state.t[itrc], flx_u, flx_v, grid,
                                        cfg, cfg.ts_pred_scheme)
+        if cfg.river_source:
+            fx, fe = rivers_mod.tracer_flux_fix(fx, fe, itrc, None, hz_n,
+                                                zw_n, forcing, grid)
         t_rhs = (hz_bak * (cf_stp * state.t[itrc] + cf_bak * state.t_prev[itrc])
                  - dtau * _tracer_divergence(fx, fe, pmn))
         fc = adv.vert_tracer_flux_spline(state.t[itrc], hz_n, we)
         t_rhs = t_rhs - dtau * pmn[None] * (fc[1:] - fc[:-1])
         iakt = min(itrc, cfg.i_t_and_s - 1)
         t_half_list.append(vmix.tracer_implicit(
-            t_rhs, hz_fwd, state.akt[iakt], wi, pmn, dtau, grid.rmask, cfg,
+            t_rhs, hz_fwd, akt[iakt], wi, pmn, dtau, grid.rmask, cfg,
             apply_mask=False))
     t_half = jnp.stack(t_half_list, axis=0)
-    t_half = halo(t_half)  # (reference: pre_step3d4S.F:548)
 
     # momentum predictor
     ru, rv = _uv_rhs(state.u, state.v, flx_u, flx_v, hz_n, we, grid, cfg,
@@ -120,14 +144,24 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     rhs_v = hzbak_v * (cf_stp * state.v + cf_bak * state.v_prev) + dc0_v[None] * rv
     u_half = vmix.momentum_implicit(
         rhs_u, 0.5 * (hz_fwd + shift(hz_fwd, 0, -1)),
-        0.5 * (state.akv + shift(state.akv, 0, -1)),
+        0.5 * (akv + shift(akv, 0, -1)),
         0.5 * (wi + shift(wi, 0, -1)), dc0_u, dtau, forcing.sustr, cfg,
         bottom_drag_coeff=0.5 * (rd + shift(rd, 0, -1)))
     v_half = vmix.momentum_implicit(
         rhs_v, 0.5 * (hz_fwd + shift(hz_fwd, -1, 0)),
-        0.5 * (state.akv + shift(state.akv, -1, 0)),
+        0.5 * (akv + shift(akv, -1, 0)),
         0.5 * (wi + shift(wi, -1, 0)), dc0_v, dtau, forcing.svstr, cfg,
         bottom_drag_coeff=0.5 * (rd + shift(rd, -1, 0)))
+
+    # river velocity overwrite + physical BCs + tracer ghost refresh
+    # (reference: pre_step3d4S.F:493-550)
+    if cfg.river_source:
+        u_half, v_half = rivers_mod.overwrite_uv(u_half, v_half, forcing,
+                                                 zw_n, grid)
+    u_half = bc.u_momentum_bc(u_half, grid, cfg)
+    v_half = bc.v_momentum_bc(v_half, grid, cfg)
+    t_half = bc.t3dbc(t_half, grid, cfg)
+    t_half = halo(t_half)
 
     # ---- set_HUV1: remove barotropic mismatch, fluxes at n+1/2
     # (reference: set_depth.F:252-422; exchanges at :414-419)
@@ -143,10 +177,18 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # CORRECTOR STAGE (nrhs = n+1/2)  (reference: main.F:425-450)
     # =====================================================================
     om = kinematics.omega(flx_u_h, flx_v_h, zw_n, hz_n, forcing.swflx, grid,
-                          cfg.dt)
+                          cfg.dt, cfg)
     we, wi = halo(om.we), halo(om.wi)
     eos_h = eos.rho_eos(t_half, zr_n, zw_n, hz_n, grid.rmask, cfg,
                         need_bvf=cfg.lmd_kpp)
+    if cfg.lmd_kpp:
+        state_h = state.replace(hbls=hbls, hbbl=hbbl)
+        vm = _vmix_update(state_h, u_half, v_half, t_half, eos_h.bvf,
+                          zr_n, zw_n, hz_n, forcing, grid, cfg, first_step)
+        akv, akt, hbls, hbbl, ghat = (vm.akv, vm.akt, vm.hbls, vm.hbbl,
+                                      vm.ghat)
+        akv, akt = halo(akv), halo(akt)
+
     ru_p, rv_p = prsgrd_mod.prsgrd(eos_h.rho, eos_h.rho1, eos_h.qp1,
                                    zr_n, zw_n, hz_n, grid, cfg)
 
@@ -167,12 +209,12 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     rd_v = 0.5 * (rd + shift(rd, -1, 0))
     vel_u = vmix.momentum_implicit(
         hzu_n * state.u + dc0_u_c[None] * ru, hzu_n,
-        0.5 * (state.akv + shift(state.akv, 0, -1)),
+        0.5 * (akv + shift(akv, 0, -1)),
         0.5 * (wi + shift(wi, 0, -1)), dc0_u_c, cfg.dt, forcing.sustr, cfg,
         bottom_drag_coeff=rd_u)
     vel_v = vmix.momentum_implicit(
         hzv_n * state.v + dc0_v_c[None] * rv, hzv_n,
-        0.5 * (state.akv + shift(state.akv, -1, 0)),
+        0.5 * (akv + shift(akv, -1, 0)),
         0.5 * (wi + shift(wi, -1, 0)), dc0_v_c, cfg.dt, forcing.svstr, cfg,
         bottom_drag_coeff=rd_v)
     hzu_new = vel_u * hzu_n       # Hz-weighted provisional u (u(:,:,:,nnew))
@@ -197,7 +239,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # =====================================================================
     fast = barotropic.fast_loop(
         state.zeta, state.ubar, state.vbar, rufrc, rvfrc,
-        eos_h.rho_s, eos_h.rho_a, forcing.swflx,
+        eos_h.rho_s, eos_h.rho_a, forcing,
         state.du_avg1, state.dv_avg1, state.du_avg2, state.dv_avg2,
         w1, w2, grid, cfg, halo)
     zeta_new = fast["zeta"]
@@ -233,7 +275,9 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         u_new = u_new * grid.umask[None]
         v_new = v_new * grid.vmask[None]
 
-    # physical boundary conditions (u3dbc/v3dbc) would go here.
+    # physical boundary conditions (reference: step3d_uv2.F:471-472)
+    u_new = bc.u_momentum_bc(u_new, grid, cfg)
+    v_new = bc.v_momentum_bc(v_new, grid, cfg)
 
     # part (b): recompute vertical integrals, barotropic replacement and
     # the n+1/2 flux correction (reference: step3d_uv2.F:521-621)
@@ -258,6 +302,11 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     flx_u_c = cf_u - dcu * mis2_u[None]
     flx_v_c = cf_v - dcv * mis2_v[None]
 
+    # river overwrite (reference: step3d_uv2.F:689-717)
+    if cfg.river_source:
+        u_new, v_new = rivers_mod.overwrite_uv(u_new, v_new, forcing,
+                                               zw_new, grid)
+
     u_new, v_new = halo(u_new), halo(v_new)
     flx_u_c, flx_v_c = halo(flx_u_c), halo(flx_v_c)
     ubar_new, vbar_new = halo(ubar_new), halo(vbar_new)
@@ -266,25 +315,40 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # TRACER CORRECTOR (reference: main.F:469-473, step3d_t_ISO.F)
     # =====================================================================
     om = kinematics.omega(flx_u_c, flx_v_c, zw_new, hz_new, forcing.swflx,
-                          grid, cfg.dt)
+                          grid, cfg.dt, cfg)
     we, wi = halo(om.we), halo(om.wi)
 
     t_new_list = []
     for itrc in range(cfg.nt):
         fx, fe = adv.horiz_tracer_flux(t_half[itrc], flx_u_c, flx_v_c, grid,
                                        cfg, cfg.ts_corr_scheme)
+        if cfg.river_source:
+            fx, fe = rivers_mod.tracer_flux_fix(fx, fe, itrc, None, hz_new,
+                                                zw_new, forcing, grid)
         t_rhs = hz_n * state.t[itrc] - cfg.dt * _tracer_divergence(fx, fe, pmn)
         fc = adv.vert_tracer_flux_spline(t_half[itrc], hz_new, we)
         t_rhs = t_rhs - cfg.dt * pmn[None] * (fc[1:] - fc[:-1])
         # surface forcing flux (reference: step3d_t_ISO.F:956-959)
         t_rhs = t_rhs.at[-1].add(cfg.dt * forcing.stflx[itrc])
-        if itrc == cfg.itemp:
-            # rain-heat (swflx) and solar penetration terms are zero
-            # without BULK_FRC/LMD_KPP; add here when enabled.
-            pass
+        if cfg.lmd_kpp:
+            # penetrating solar + nonlocal KPP transport
+            # (reference: step3d_t_ISO.F:961-1005)
+            nzz = cfg.nz
+            gw = jnp.zeros_like(wi)
+            if itrc == cfg.itemp:
+                gsrc = forcing.srflx[None] * state.swrf[1:nzz]
+                if ghat is not None:
+                    gsrc = gsrc - ghat[1:nzz] * (forcing.stflx[cfg.itemp]
+                                                 - forcing.srflx)[None]
+                gw = gw.at[1:nzz].set(gsrc)
+                t_rhs = t_rhs + cfg.dt * (gw[1:] - gw[:-1])
+            elif cfg.salinity and itrc == cfg.isalt and ghat is not None:
+                gw = gw.at[1:nzz].set(-ghat[1:nzz]
+                                      * forcing.stflx[cfg.isalt][None])
+                t_rhs = t_rhs + cfg.dt * (gw[1:] - gw[:-1])
         iakt = min(itrc, cfg.i_t_and_s - 1)
         t_new_k = vmix.tracer_implicit(
-            t_rhs, hz_new, state.akt[iakt], wi, pmn, cfg.dt, grid.rmask, cfg,
+            t_rhs, hz_new, akt[iakt], wi, pmn, cfg.dt, grid.rmask, cfg,
             apply_mask=True)
         t_new_list.append(t_new_k)
     t_new = jnp.stack(t_new_list, axis=0)
@@ -294,6 +358,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         from roms_tpu.ops.hmix import t3dmix
         t_new = t3dmix(t_new, t_half, hz_new, grid, cfg)
 
+    t_new = bc.t3dbc(t_new, grid, cfg)
     t_new = halo(t_new)  # (reference: step3d_t_ISO.F:1167-1177)
 
     # final density for diagnostics/output (reference: main.F:479)
@@ -308,6 +373,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         du_avg2=fast["du_avg2"], dv_avg2=fast["dv_avg2"],
         du_avg_bak=fast["du_avg_bak"], dv_avg_bak=fast["dv_avg_bak"],
         flx_u=flx_u_c, flx_v=flx_v_c, we=we, wi=wi, rho=eos_new.rho,
+        akv=akv, akt=akt, hbls=hbls, hbbl=hbbl,
         iic=state.iic + 1, time=state.time + cfg.dt)
 
 
