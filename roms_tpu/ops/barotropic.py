@@ -142,6 +142,11 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     zeta_new = (fs.z_stp + dtfast * grid.pm * grid.pn
                 * (duon - shift(duon, 0, 1) + dvom - shift(dvom, 1, 0))
                 + dtfast * forcing.swflx)
+    if cfg.pipe_source:
+        # pipe volume input to the free surface (reference: :155-159)
+        zeta_new = zeta_new + jnp.where(
+            forcing.pipe_idx > 0,
+            dtfast * grid.pm * grid.pn * forcing.pipe_flx, 0.0)
     if cfg.masking:
         zeta_new = zeta_new * grid.rmask
     # free-surface physical boundary conditions (reference: :184)

@@ -85,8 +85,20 @@ _CUTOFF = 2.0 - _CMNX
 _R4CMX = 0.25 / (1.0 - _CMNX)
 
 
+def pipe_profile_3d(forcing, nz: int):
+    """Per-cell vertical source distribution pipe_flx * pipe_prf[pipe_idx]
+    (nz, jy, ix) (reference: omega.F:102-108, step3d_t_ISO.F:927-934)."""
+    npip = forcing.pipe_prf.shape[0]
+    idx = jnp.clip(forcing.pipe_idx, 0, npip - 1)
+    prf = forcing.pipe_prf[:, :, None, None]  # (npip, nz, 1, 1)
+    cell_prf = jnp.take_along_axis(
+        jnp.broadcast_to(prf, (npip, nz) + idx.shape),
+        idx[None, None], axis=0)[0]
+    return cell_prf * forcing.pipe_flx[None]
+
+
 def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float,
-          cfg: ModelConfig = None) -> OmegaOut:
+          cfg: ModelConfig = None, forcing=None) -> OmegaOut:
     """S-coordinate vertical velocity [m^3/s] with adaptive explicit/implicit
     split by vertical Courant number (reference: src/omega.F:17-169).
 
@@ -96,9 +108,13 @@ def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float,
     nz = hz.shape[0]
     # horizontal divergence per level (reference: omega.F:98-113)
     div = (shift(flx_u, 0, 1) - flx_u + shift(flx_v, 1, 0) - flx_v)
-    # cumulative integral bottom-up: Wi[k] = -sum_{k'<=k} div[k'] (sequential
-    # to match the reference summation order)
-    wi_body = lax.associative_scan(jnp.add, -div, axis=0)
+    incr = -div
+    if cfg is not None and cfg.pipe_source:
+        # submerged pipe volume sources enter the vertical integral
+        # (reference: omega.F:102-108)
+        incr = incr + pipe_profile_3d(forcing, nz)
+    # cumulative integral bottom-up: Wi[k] = sum_{k'<=k} incr[k']
+    wi_body = lax.associative_scan(jnp.add, incr, axis=0)
     cx = (jnp.maximum(shift(flx_u, 0, 1), 0.0) - jnp.minimum(flx_u, 0.0)
           + jnp.maximum(shift(flx_v, 1, 0), 0.0) - jnp.minimum(flx_v, 0.0))
 

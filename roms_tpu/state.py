@@ -48,6 +48,12 @@ class Forcing:
     riv_vflx: Optional[jax.Array] = None
     riv_vol: Optional[jax.Array] = None   # (nriv+1,) volume flux [m^3/s]
     riv_trc: Optional[jax.Array] = None   # (nriv+1, nt) tracer conc.
+    # pipes: submerged point sources with a vertical dispersion profile
+    # (reference: src/pipe_frc.F)
+    pipe_flx: Optional[jax.Array] = None  # (jy, ix) volume flux [m^3/s]
+    pipe_idx: Optional[jax.Array] = None  # (jy, ix) int32 pipe id (0 = none)
+    pipe_prf: Optional[jax.Array] = None  # (npip+1, nz) profile, sums to 1
+    pipe_trc: Optional[jax.Array] = None  # (npip+1, nt) tracer conc.
 
 
 @struct.dataclass

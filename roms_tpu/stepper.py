@@ -83,7 +83,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     flx_u, flx_v = halo(flx_u), halo(flx_v)
     dtau_o = 0.5 * cfg.dt if first_step else 0.6 * cfg.dt  # (omega.F:66-73)
     om = kinematics.omega(flx_u, flx_v, zw_n, hz_n, forcing.swflx, grid,
-                          dtau_o, cfg)
+                          dtau_o, cfg, forcing)
     we, wi = halo(om.we), halo(om.wi)
 
     if cfg.lmd_kpp:
@@ -177,7 +177,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # CORRECTOR STAGE (nrhs = n+1/2)  (reference: main.F:425-450)
     # =====================================================================
     om = kinematics.omega(flx_u_h, flx_v_h, zw_n, hz_n, forcing.swflx, grid,
-                          cfg.dt, cfg)
+                          cfg.dt, cfg, forcing)
     we, wi = halo(om.we), halo(om.wi)
     eos_h = eos.rho_eos(t_half, zr_n, zw_n, hz_n, grid.rmask, cfg,
                         need_bvf=cfg.lmd_kpp)
@@ -315,7 +315,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # TRACER CORRECTOR (reference: main.F:469-473, step3d_t_ISO.F)
     # =====================================================================
     om = kinematics.omega(flx_u_c, flx_v_c, zw_new, hz_new, forcing.swflx,
-                          grid, cfg.dt, cfg)
+                          grid, cfg.dt, cfg, forcing)
     we, wi = halo(om.we), halo(om.wi)
 
     t_new_list = []
@@ -328,6 +328,13 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         t_rhs = hz_n * state.t[itrc] - cfg.dt * _tracer_divergence(fx, fe, pmn)
         fc = adv.vert_tracer_flux_spline(t_half[itrc], hz_new, we)
         t_rhs = t_rhs - cfg.dt * pmn[None] * (fc[1:] - fc[:-1])
+        if cfg.pipe_source:
+            # pipe tracer load (reference: step3d_t_ISO.F:927-934)
+            src3d = kinematics.pipe_profile_3d(forcing, cfg.nz)
+            npip = forcing.pipe_trc.shape[0]
+            trc_p = jnp.take(forcing.pipe_trc[:, itrc],
+                             jnp.clip(forcing.pipe_idx, 0, npip - 1))
+            t_rhs = t_rhs + cfg.dt * pmn[None] * src3d * trc_p[None]
         # surface forcing flux (reference: step3d_t_ISO.F:956-959)
         t_rhs = t_rhs.at[-1].add(cfg.dt * forcing.stflx[itrc])
         if cfg.lmd_kpp:
