@@ -99,6 +99,41 @@ class ModelConfig:
     river_source: bool = False  # RIVER_SOURCE point sources
     pipe_source: bool = False   # PIPE_SOURCE submerged sources
 
+    # ---- open boundaries (reference: cppdefs.opt OBC_* switches) ----------
+    obc_west: bool = False   # OBC_WEST
+    obc_east: bool = False   # OBC_EAST
+    obc_south: bool = False  # OBC_SOUTH
+    obc_north: bool = False  # OBC_NORTH
+    # barotropic scheme: OBC_M2FLATHER | OBC_M2ORLANSKI | OBC_M2SPECIFIED
+    obc_m2: str = "flather"
+    # baroclinic momentum: OBC_M3ORLANSKI | OBC_M3SPECIFIED
+    obc_m3: str = "orlanski"
+    # tracers: OBC_TORLANSKI | OBC_TSPECIFIED
+    obc_t: str = "orlanski"
+    frc_bry: bool = False  # Z/M2/M3/T_FRC_BRY: external boundary data active
+    obc_rad_normal: bool = False  # OBC_RAD_NORMAL: 1D radiation only
+    obc_rad_npo: bool = False     # OBC_RAD_NPO: no phase speed projection
+    ubind: float = 0.1    # offshore binding velocity [m/s] (roms.in "ubind")
+    attnm2: float = 0.0   # barotropic boundary restoring coefficient
+
+    # ---- biogeochemistry (reference: cppdefs.opt MARBL/BIOLOGY_BEC2,
+    # src/marbl_driver.F, src/bec2_driver.F) -------------------------------
+    bgc_model: str = "none"  # "none" | registered name (e.g. "npzd")
+    n_bgc: int = 0           # BGC tracer count; they occupy t[nt-n_bgc:]
+
+    # ---- upscaling (reference: cppdefs.opt UPSCALING,
+    # src/upscale_output.F): record boundary advective tracer fluxes ------
+    upscale_output: bool = False
+
+    # ---- term-by-term budget diagnostics (reference: cppdefs.opt
+    # DIAGNOSTICS, src/diagnostics.F) --------------------------------------
+    tracer_diagnostics: bool = False
+
+    # ---- sponge layer (reference: cppdefs.opt SPONGE, src/set_nudgcof.F) --
+    sponge: bool = False
+    v_sponge: float = 0.0      # peak sponge viscosity/diffusivity [m^2/s]
+    sponge_size: int = 15      # interior points in the sponge band
+
     # ---- halo -------------------------------------------------------------
     halo: int = 2  # ghost cells per side (reference: set_global_definitions.h:146)
 
@@ -121,6 +156,10 @@ class ModelConfig:
     @property
     def fully_periodic(self) -> bool:
         return self.ew_periodic and self.ns_periodic
+
+    @property
+    def any_obc(self) -> bool:
+        return self.obc_west or self.obc_east or self.obc_south or self.obc_north
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

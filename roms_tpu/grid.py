@@ -64,6 +64,11 @@ class Grid:
     # --- global invariants (scalars; deterministic f64 sums at setup) -----
     area: jax.Array
     volume: jax.Array
+    # --- sponge-enhanced mixing coefficients (reference: src/set_nudgcof.F,
+    # src/mixing.F visc2_r/visc2_p/diff2); None = use scalar cfg values ----
+    visc2_r: Optional[jax.Array] = None
+    visc2_p: Optional[jax.Array] = None
+    diff2: Optional[jax.Array] = None
 
 
 def build_grid(cfg: ModelConfig, h, pm, pn, f, rmask, xr=None, yr=None,

@@ -150,7 +150,7 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     if cfg.masking:
         zeta_new = zeta_new * grid.rmask
     # free-surface physical boundary conditions (reference: :184)
-    zeta_new = bc.zetabc(zeta_new, grid, cfg)
+    zeta_new = bc.zetabc(zeta_new, fs.z_stp, grid, cfg, forcing.bry)
     dnew = zeta_new + h
     zwrk = (bkw_new * zeta_new + bkw * fs.z_stp
             + bkw1 * fs.z_bak + bkw2 * fs.z_old)
@@ -210,8 +210,10 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     vbar_new = dv_new / (dnew + dnew_s)
 
     # physical boundary conditions (reference: :444-445)
-    ubar_new = bc.u_momentum_bc(ubar_new, grid, cfg)
-    vbar_new = bc.v_momentum_bc(vbar_new, grid, cfg)
+    ubar_new = bc.u2dbc(ubar_new, fs.u_stp, fs.v_stp, zeta_new, fs.z_stp,
+                        grid, cfg, forcing.bry)
+    vbar_new = bc.v2dbc(vbar_new, fs.v_stp, fs.u_stp, zeta_new, fs.z_stp,
+                        grid, cfg, forcing.bry)
 
     # fast-time flux averaging: interior formula from DUnew, boundary
     # strips from the BC'd ubar (reference: :420-437 vs :474-528)

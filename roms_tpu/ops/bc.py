@@ -1,16 +1,28 @@
-"""Lateral physical boundary conditions (closed-wall variants).
+"""Lateral boundary conditions: closed walls and open boundaries.
 
-Closed boundaries of the reference BC kernels: no normal flow, free/no-slip
-tangential ghosts (gamma2), zero-gradient tracer/free-surface ghosts, and
-corner averaging (reference: src/zetabc.F, src/u2dbc_im.F, src/v2dbc_im.F,
-src/u3dbc_im.F, src/v3dbc_im.F, src/t3dbc_im.F — the non-OBC branches).
-Open-boundary (Flather / Orlanski / specified) variants plug in here.
+Implements the full per-edge BC menu of the reference:
 
-Padded-index map (halo=2): Fortran i → python i+1; so the wall-adjacent
-interior is index 2 / -3, the physical ghost ring is index 1 / -2.
+  * free surface:   zero-gradient (closed) | Flather (reference: src/zetabc.F)
+  * 2D momentum:    no-flux wall | Flather | Orlanski-2D | specified
+                    (reference: src/u2dbc_im.F, src/v2dbc_im.F); tangential
+                    edges use the advective Orlanski-2D form even under
+                    OBC_M2FLATHER (reference: u2dbc_im.F:279-282 redefine)
+  * 3D momentum:    no-flux wall / gamma2 ghosts | Orlanski | specified
+                    (reference: src/u3dbc_im.F, src/v3dbc_im.F)
+  * tracers:        zero-gradient | advective Orlanski | specified
+                    (reference: src/t3dbc_im.F)
 
-Single-block only for now: under a device mesh, physical-edge application
-needs per-shard edge ownership masks (round-2 work).
+All updates are masked and finish with the open-open corner averages
+(reference: u2dbc_im.F:455-478, u3dbc_im.F:387-418, t3dbc_im.F:315-420).
+
+Padded-index map (halo=2): Fortran i -> python i+1; the wall-adjacent
+interior rho point is index 2 / -3, the physical ghost ring is 1 / -2.
+u(istr) (the westernmost normal-velocity point) is python column 2;
+u(iend+1) is column -2; v(jstr) is row 2; v(jend+1) is row -2.
+
+Single-block only: under a device mesh, physical-edge application needs
+per-shard edge ownership masks (the distributed entry currently runs
+fully-periodic configs).
 """
 
 from __future__ import annotations
@@ -19,90 +31,718 @@ import jax.numpy as jnp
 
 from roms_tpu.config import ModelConfig
 
+EPS = 1e-33
+# Flather free-surface correction threshold 1-1/sqrt(2)
+# (reference: u2dbc_im.F:36)
+FLATHER_CX0 = 0.292893218813452
 
-def zetabc(zeta_new, grid, cfg: ModelConfig):
-    """Free-surface ghost update (closed: zero-gradient, masked;
-    reference: zetabc.F:53-60 etc.; corners :177-196)."""
+# edge update range along the boundary (Fortran jstr..jend / istr..iend)
+IN = slice(2, -2)
+# grad range (Fortran jstr..jend+1 / istr..iend+1)
+GR = slice(2, -1)
+
+
+def _bry(bry, name, rng=None):
+    """Fetch boundary data slice; zeros-compatible scalar 0.0 if absent."""
+    v = getattr(bry, name, None) if bry is not None else None
+    if v is None:
+        return 0.0
+    return v[..., rng] if rng is not None else v
+
+
+def _mask(grid, which, cfg):
+    if not cfg.masking:
+        return None
+    return getattr(grid, which)
+
+
+def _apply_mask(val, m, idx_rows, idx_col=None):
+    if m is None:
+        return val
+    if idx_col is None:
+        return val * m[idx_rows]
+    return val * m[idx_rows, idx_col]
+
+
+# ===========================================================================
+# Free surface (reference: src/zetabc.F)
+# ===========================================================================
+
+def zetabc(z_new, z_stp, grid, cfg: ModelConfig, bry=None):
+    """Ghost-ring update for the new free surface inside the fast loop.
+
+    z_stp: zeta at the previous fast level (kstp).  Open edges with the
+    Flather barotropic scheme use the radiative formula
+    (reference: zetabc.F:28-36); all other cases are zero-gradient.
+    """
     if cfg.fully_periodic:
-        return zeta_new
-    z = zeta_new
-    m = grid.rmask if cfg.masking else None
+        return z_new
+    z = z_new
+    m = _mask(grid, "rmask", cfg)
+    g = cfg.g
+    dtf = cfg.dtfast
+    flather = cfg.obc_m2 == "flather"
+
     if not cfg.ew_periodic:
-        z = z.at[..., :, 1].set(z[..., :, 2] * (m[..., :, 1] if m is not None else 1.0))
-        z = z.at[..., :, -2].set(z[..., :, -3] * (m[..., :, -2] if m is not None else 1.0))
+        if cfg.obc_west and flather:
+            cx = dtf * grid.pm[IN, 2] * jnp.sqrt(g * grid.h[IN, 2])
+            val = (1.0 - cx) * z_stp[IN, 1] + cx * z_stp[IN, 2]
+            z = z.at[IN, 1].set(_apply_mask(val, m, IN, 1))
+        else:
+            z = z.at[:, 1].set(z[:, 2] * (m[:, 1] if m is not None else 1.0))
+        if cfg.obc_east and flather:
+            cx = dtf * grid.pm[IN, -3] * jnp.sqrt(g * grid.h[IN, -3])
+            val = (1.0 - cx) * z_stp[IN, -2] + cx * z_stp[IN, -3]
+            z = z.at[IN, -2].set(_apply_mask(val, m, IN, -2))
+        else:
+            z = z.at[:, -2].set(z[:, -3] * (m[:, -2] if m is not None else 1.0))
     if not cfg.ns_periodic:
-        z = z.at[..., 1, :].set(z[..., 2, :] * (m[..., 1, :] if m is not None else 1.0))
-        z = z.at[..., -2, :].set(z[..., -3, :] * (m[..., -2, :] if m is not None else 1.0))
+        if cfg.obc_south and flather:
+            cx = dtf * grid.pn[2, IN] * jnp.sqrt(g * grid.h[2, IN])
+            val = (1.0 - cx) * z_stp[1, IN] + cx * z_stp[2, IN]
+            z = z.at[1, IN].set(_apply_mask(val, m, 1, IN))
+        else:
+            z = z.at[1, :].set(z[2, :] * (m[1, :] if m is not None else 1.0))
+        if cfg.obc_north and flather:
+            cx = dtf * grid.pn[-3, IN] * jnp.sqrt(g * grid.h[-3, IN])
+            val = (1.0 - cx) * z_stp[-2, IN] + cx * z_stp[-3, IN]
+            z = z.at[-2, IN].set(_apply_mask(val, m, -2, IN))
+        else:
+            z = z.at[-2, :].set(z[-3, :] * (m[-2, :] if m is not None else 1.0))
     if not cfg.ew_periodic and not cfg.ns_periodic:
-        z = z.at[..., 1, 1].set(0.5 * (z[..., 1, 2] + z[..., 2, 1]))
-        z = z.at[..., 1, -2].set(0.5 * (z[..., 1, -3] + z[..., 2, -2]))
-        z = z.at[..., -2, 1].set(0.5 * (z[..., -2, 2] + z[..., -3, 1]))
-        z = z.at[..., -2, -2].set(0.5 * (z[..., -2, -3] + z[..., -3, -2]))
+        # ghost corners = average of the two adjacent ghosts
+        # (reference: zetabc.F corner section)
+        z = z.at[1, 1].set(0.5 * (z[1, 2] + z[2, 1]))
+        z = z.at[1, -2].set(0.5 * (z[1, -3] + z[2, -2]))
+        z = z.at[-2, 1].set(0.5 * (z[-2, 2] + z[-3, 1]))
+        z = z.at[-2, -2].set(0.5 * (z[-2, -3] + z[-3, -2]))
     return z
 
 
-def _gamma2(cfg):
-    return getattr(cfg, "gamma2", 1.0)
+# ===========================================================================
+# 2D momentum (reference: src/u2dbc_im.F, src/v2dbc_im.F)
+# ===========================================================================
+
+def _flather_zx(z_stp_in, z_stp_gh, z_new_in, cx):
+    """Flather half-point free surface with super-Courant correction
+    (reference: u2dbc_im.F:35-40)."""
+    zx = (0.5 + cx) * z_stp_in + (0.5 - cx) * z_stp_gh
+    corr = ((z_new_in + cx * z_stp_gh - (1.0 + cx) * z_stp_in)
+            * (1.0 - FLATHER_CX0 / jnp.maximum(cx, EPS)) ** 2)
+    return zx + jnp.where(cx > FLATHER_CX0, corr, 0.0)
 
 
-def u_momentum_bc(u, grid, cfg: ModelConfig):
-    """Closed-wall BC for a u-type field (2D ubar or 3D u):
-    zero normal flow at W/E walls, gamma2 tangential ghost at S/N walls
-    (reference: u3dbc_im.F:127-131, :216-221, :290-300;
-    u2dbc_im.F:150-153, :357-363)."""
+def _orl2d_normal(q_gh_stp, q_in_stp, q_in_new, q_in2_new, g_gh, g_in,
+                  pm_edge, dtfast, cfg, q_ext, z_new_gh_adj, z_ext, gpm):
+    """Normal-component Orlanski-2D at one W/E/S/N edge; returns the new
+    boundary value before masking (reference: u2dbc_im.F:55-124).
+
+    g_gh/g_in: tangential grads at the boundary column and first interior
+    column, each length len(edge)+1 (grad at j and j+1 available).
+    """
+    dft = q_in_stp - q_in_new
+    dfx = q_in_new - q_in2_new
+    if cfg.obc_rad_normal:
+        cy = 0.0
+        cff = jnp.maximum(dfx * dfx, EPS)
+    else:
+        dfy = jnp.where(dft * (g_in[:-1] + g_in[1:]) > 0.0, g_in[:-1], g_in[1:])
+        cff = jnp.maximum(dfx * dfx + dfy * dfy, EPS)
+        cy = 0.0 if cfg.obc_rad_npo else jnp.minimum(
+            cff, jnp.maximum(dft * dfy, -cff))
+    cx = dft * dfx
+    inflow = cx < 0.0
+    cext = jnp.where(inflow, dtfast * cfg.ubind * pm_edge, 0.0) \
+        if cfg.frc_bry else 0.0
+    cx = jnp.maximum(cx, 0.0)
+    cy = jnp.where(inflow, 0.0, cy)
+    val = (cff * q_gh_stp + cx * q_in_new
+           - jnp.maximum(cy, 0.0) * g_gh[:-1]
+           - jnp.minimum(cy, 0.0) * g_gh[1:]) / (cff + cx)
+    if cfg.frc_bry:
+        val = ((1.0 - cext) * val + cext * q_ext
+               - cfg.attnm2 * dtfast * cfg.g * gpm * (z_new_gh_adj - z_ext))
+    return val
+
+
+def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
+          cfg: ModelConfig, bry=None):
+    """BCs for the barotropic XI velocity at knew (reference: src/u2dbc_im.F)."""
     if cfg.fully_periodic:
-        return u
-    g2 = _gamma2(cfg)
-    um = grid.umask
+        return ubar_new
+    u = ubar_new
+    um = _mask(grid, "umask", cfg)
+    pmk = grid.pmask if cfg.masking else None
+    g, dtf = cfg.g, cfg.dtfast
+    g2 = cfg.gamma2
+
+    # ---- West/East: normal component --------------------------------------
     if not cfg.ew_periodic:
-        u = u.at[..., :, 2].set(0.0)     # western wall u(istr)=0
-        u = u.at[..., :, -2].set(0.0)    # eastern wall u(iend+1)=0
+        for east in (False, True):
+            open_edge = cfg.obc_east if east else cfg.obc_west
+            gh, in1, in2 = ((-2, -3, -4) if east else (2, 3, 4))
+            ghr, inr = ((-2, -3) if east else (1, 2))  # rho cols ghost/in
+            sgn = 1.0 if east else -1.0
+            if not open_edge:
+                u = u.at[..., :, gh].set(0.0)  # closed wall, no-flux
+                continue
+            ub_ext = _bry(bry, "ubar_east" if east else "ubar_west", IN)
+            z_ext = _bry(bry, "zeta_east" if east else "zeta_west", IN)
+            if cfg.obc_m2 == "flather":
+                cff = 0.5 * (grid.h[IN, ghr] + grid.h[IN, inr])
+                hx = jnp.sqrt(g / cff)
+                cx = dtf * cff * hx * 0.5 * (grid.pm[IN, ghr]
+                                             + grid.pm[IN, inr])
+                zx = _flather_zx(z_stp[IN, inr], z_stp[IN, ghr],
+                                 z_new[IN, inr], cx)
+                val = 0.5 * ((1.0 - cx) * ubar_stp[IN, gh]
+                             + cx * ubar_stp[IN, in1]
+                             + ub_ext + sgn * hx * (zx - z_ext))
+                u = u.at[IN, gh].set(_apply_mask(val, um, IN, gh))
+            elif cfg.obc_m2 == "orlanski":
+                def grad_col(c):
+                    gcol = ubar_stp[GR, c] - ubar_stp[slice(1, -2), c]
+                    return gcol * pmk[GR, c] if pmk is not None else gcol
+                gpm = 0.5 * (grid.pm[IN, ghr] + grid.pm[IN, inr])
+                val = _orl2d_normal(
+                    ubar_stp[IN, gh], ubar_stp[IN, in1], u[IN, in1],
+                    u[IN, in2], grad_col(gh), grad_col(in1),
+                    gpm, dtf, cfg, ub_ext, z_new[IN, inr], z_ext, gpm)
+                u = u.at[IN, gh].set(_apply_mask(val, um, IN, gh))
+            else:  # specified / gradient
+                val = ub_ext if cfg.obc_m2 == "specified" else u[IN, in1]
+                u = u.at[IN, gh].set(_apply_mask(val, um, IN, gh))
+
+    # ---- South/North: tangential component ---------------------------------
+    # Orlanski-2D advective form whenever the edge is open and the scheme is
+    # flather or orlanski (reference: u2dbc_im.F:279-282, :288-328)
     if not cfg.ns_periodic:
-        u = u.at[..., 1, :].set(g2 * u[..., 2, :] * (um[1, :] if cfg.masking else 1.0))
-        u = u.at[..., -2, :].set(g2 * u[..., -3, :] * (um[-2, :] if cfg.masking else 1.0))
+        for north in (False, True):
+            open_edge = cfg.obc_north if north else cfg.obc_south
+            gh, in1 = ((-2, -3) if north else (1, 2))
+            if not open_edge:
+                mfac = um[gh, :] if um is not None else 1.0
+                u = u.at[..., gh, :].set(g2 * u[..., in1, :] * mfac)
+                continue
+            ub_ext = _bry(bry, "ubar_north" if north else "ubar_south",
+                          slice(3, -2))
+            if cfg.obc_m2 in ("flather", "orlanski"):
+                # grads along i at rows gh, in1 for i = istrU-1..iend
+                def grad_row(r):
+                    return ubar_stp[r, slice(3, -1)] - ubar_stp[r, slice(2, -2)]
+                g_gh, g_in = grad_row(gh), grad_row(in1)
+                II = slice(3, -2)   # istrU..iend
+                IW = slice(2, -3)   # i-1
+                sgn = 1.0 if north else -1.0
+                vrow = -2 if north else 2  # vbar(jend+1) / vbar(jstr)
+                cx = sgn * 0.125 * dtf * (vbar_stp[vrow, II]
+                                          + vbar_stp[vrow, IW]) \
+                    * (grid.pn[gh, II] + grid.pn[gh, IW]
+                       + grid.pn[in1, II] + grid.pn[in1, IW])
+                cy = 0.125 * dtf * (ubar_stp[gh, II] + ubar_stp[in1, II]) \
+                    * (grid.pm[gh, II] + grid.pm[gh, IW]
+                       + grid.pm[in1, II] + grid.pm[in1, IW])
+                cext = jnp.where(cx > 0.0, 0.0, -cx)
+                cx = jnp.maximum(cx, 0.0)
+                val = ((1.0 - cx) * (ubar_stp[gh, II]
+                                     - jnp.maximum(cy, 0.0) * g_gh[:-1]
+                                     - jnp.minimum(cy, 0.0) * g_gh[1:])
+                       + cx * (ubar_stp[in1, II]
+                               - jnp.maximum(cy, 0.0) * g_in[:-1]
+                               - jnp.minimum(cy, 0.0) * g_in[1:]))
+                if cfg.frc_bry:
+                    val = (1.0 - cext) * val + cext * ub_ext
+                u = u.at[gh, II].set(_apply_mask(val, um, gh, II))
+            else:  # specified / gradient
+                II = slice(3, -2)
+                val = ub_ext if cfg.obc_m2 == "specified" else u[in1, II]
+                u = u.at[gh, II].set(_apply_mask(val, um, gh, II))
+
+    # ---- open-open corners (reference: u2dbc_im.F:455-478) ----------------
+    u = _uv_corners_u(u, cfg)
     return u
 
 
-def v_momentum_bc(v, grid, cfg: ModelConfig):
-    """Mirror of u_momentum_bc for v-type fields."""
-    if cfg.fully_periodic:
-        return v
-    g2 = _gamma2(cfg)
-    vm = grid.vmask
-    if not cfg.ns_periodic:
-        v = v.at[..., 2, :].set(0.0)     # southern wall v(jstr)=0
-        v = v.at[..., -2, :].set(0.0)    # northern wall v(jend+1)=0
-    if not cfg.ew_periodic:
-        v = v.at[..., :, 1].set(g2 * v[..., :, 2] * (vm[:, 1] if cfg.masking else 1.0))
-        v = v.at[..., :, -2].set(g2 * v[..., :, -3] * (vm[:, -2] if cfg.masking else 1.0))
+def _uv_corners_u(u, cfg: ModelConfig):
+    if cfg.obc_south and cfg.obc_west:
+        u = u.at[..., 1, 2].set(0.5 * (u[..., 1, 3] + u[..., 2, 2]))
+    if cfg.obc_south and cfg.obc_east:
+        u = u.at[..., 1, -2].set(0.5 * (u[..., 1, -3] + u[..., 2, -2]))
+    if cfg.obc_north and cfg.obc_west:
+        u = u.at[..., -2, 2].set(0.5 * (u[..., -2, 3] + u[..., -3, 2]))
+    if cfg.obc_north and cfg.obc_east:
+        u = u.at[..., -2, -2].set(0.5 * (u[..., -2, -3] + u[..., -3, -2]))
+    return u
+
+
+def _uv_corners_v(v, cfg: ModelConfig):
+    if cfg.obc_south and cfg.obc_west:
+        v = v.at[..., 2, 1].set(0.5 * (v[..., 3, 1] + v[..., 2, 2]))
+    if cfg.obc_south and cfg.obc_east:
+        v = v.at[..., 2, -2].set(0.5 * (v[..., 3, -2] + v[..., 2, -3]))
+    if cfg.obc_north and cfg.obc_west:
+        v = v.at[..., -2, 1].set(0.5 * (v[..., -3, 1] + v[..., -2, 2]))
+    if cfg.obc_north and cfg.obc_east:
+        v = v.at[..., -2, -2].set(0.5 * (v[..., -3, -2] + v[..., -2, -3]))
     return v
 
 
-def t3dbc(t, grid, cfg: ModelConfig):
-    """Tracer ghost update (closed: zero-gradient, masked; corner points
-    masked-averaged; reference: t3dbc_im.F:85-96, :420-470).
-    t: (..., nz, jy, ix) or (nz, jy, ix)."""
+def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
+          cfg: ModelConfig, bry=None):
+    """BCs for the barotropic ETA velocity at knew (reference: src/v2dbc_im.F)."""
     if cfg.fully_periodic:
-        return t
-    m = grid.rmask if cfg.masking else jnp.ones_like(grid.h)
-    if not cfg.ew_periodic:
-        t = t.at[..., :, 1].set(t[..., :, 2] * m[:, 1])
-        t = t.at[..., :, -2].set(t[..., :, -3] * m[:, -2])
+        return vbar_new
+    v = vbar_new
+    vm = _mask(grid, "vmask", cfg)
+    pmk = grid.pmask if cfg.masking else None
+    g, dtf = cfg.g, cfg.dtfast
+    g2 = cfg.gamma2
+
+    # ---- South/North: normal component ------------------------------------
     if not cfg.ns_periodic:
-        t = t.at[..., 1, :].set(t[..., 2, :] * m[1, :])
-        t = t.at[..., -2, :].set(t[..., -3, :] * m[-2, :])
+        for north in (False, True):
+            open_edge = cfg.obc_north if north else cfg.obc_south
+            gh, in1, in2 = ((-2, -3, -4) if north else (2, 3, 4))
+            ghr, inr = ((-2, -3) if north else (1, 2))
+            sgn = 1.0 if north else -1.0
+            if not open_edge:
+                v = v.at[..., gh, :].set(0.0)
+                continue
+            vb_ext = _bry(bry, "vbar_north" if north else "vbar_south", IN)
+            z_ext = _bry(bry, "zeta_north" if north else "zeta_south", IN)
+            if cfg.obc_m2 == "flather":
+                cff = 0.5 * (grid.h[ghr, IN] + grid.h[inr, IN])
+                hx = jnp.sqrt(g / cff)
+                cx = dtf * cff * hx * 0.5 * (grid.pn[ghr, IN]
+                                             + grid.pn[inr, IN])
+                zx = _flather_zx(z_stp[inr, IN], z_stp[ghr, IN],
+                                 z_new[inr, IN], cx)
+                val = 0.5 * ((1.0 - cx) * vbar_stp[gh, IN]
+                             + cx * vbar_stp[in1, IN]
+                             + vb_ext + sgn * hx * (zx - z_ext))
+                v = v.at[gh, IN].set(_apply_mask(val, vm, gh, IN))
+            elif cfg.obc_m2 == "orlanski":
+                def grad_row(r):
+                    grow = vbar_stp[r, GR] - vbar_stp[r, slice(1, -2)]
+                    return grow * pmk[r, GR] if pmk is not None else grow
+                gpn = 0.5 * (grid.pn[ghr, IN] + grid.pn[inr, IN])
+                val = _orl2d_normal(
+                    vbar_stp[gh, IN], vbar_stp[in1, IN], v[in1, IN],
+                    v[in2, IN], grad_row(gh), grad_row(in1),
+                    gpn, dtf, cfg, vb_ext, z_new[inr, IN], z_ext, gpn)
+                v = v.at[gh, IN].set(_apply_mask(val, vm, gh, IN))
+            else:
+                val = vb_ext if cfg.obc_m2 == "specified" else v[in1, IN]
+                v = v.at[gh, IN].set(_apply_mask(val, vm, gh, IN))
+
+    # ---- West/East: tangential component -----------------------------------
+    if not cfg.ew_periodic:
+        for east in (False, True):
+            open_edge = cfg.obc_east if east else cfg.obc_west
+            gh, in1 = ((-2, -3) if east else (1, 2))
+            if not open_edge:
+                mfac = vm[:, gh] if vm is not None else 1.0
+                v = v.at[..., :, gh].set(g2 * v[..., :, in1] * mfac)
+                continue
+            vb_ext = _bry(bry, "vbar_east" if east else "vbar_west",
+                          slice(3, -2))
+            if cfg.obc_m2 in ("flather", "orlanski"):
+                def grad_col(c):
+                    return vbar_stp[slice(3, -1), c] - vbar_stp[slice(2, -2), c]
+                g_gh, g_in = grad_col(gh), grad_col(in1)
+                JJ = slice(3, -2)   # jstrV..jend
+                JS = slice(2, -3)   # j-1
+                sgn = 1.0 if east else -1.0
+                ucol = -2 if east else 2  # ubar(iend+1) / ubar(istr)
+                cx = sgn * 0.125 * dtf * (ubar_stp[JJ, ucol]
+                                          + ubar_stp[JS, ucol]) \
+                    * (grid.pm[JJ, gh] + grid.pm[JS, gh]
+                       + grid.pm[JJ, in1] + grid.pm[JS, in1])
+                cy = 0.125 * dtf * (vbar_stp[JJ, gh] + vbar_stp[JJ, in1]) \
+                    * (grid.pn[JJ, gh] + grid.pn[JS, gh]
+                       + grid.pn[JJ, in1] + grid.pn[JS, in1])
+                cext = jnp.where(cx > 0.0, 0.0, -cx)
+                cx = jnp.maximum(cx, 0.0)
+                val = ((1.0 - cx) * (vbar_stp[JJ, gh]
+                                     - jnp.maximum(cy, 0.0) * g_gh[:-1]
+                                     - jnp.minimum(cy, 0.0) * g_gh[1:])
+                       + cx * (vbar_stp[JJ, in1]
+                               - jnp.maximum(cy, 0.0) * g_in[:-1]
+                               - jnp.minimum(cy, 0.0) * g_in[1:]))
+                if cfg.frc_bry:
+                    val = (1.0 - cext) * val + cext * vb_ext
+                v = v.at[JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+            else:
+                JJ = slice(3, -2)
+                val = vb_ext if cfg.obc_m2 == "specified" else v[JJ, in1]
+                v = v.at[JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+
+    v = _uv_corners_v(v, cfg)
+    return v
+
+
+# ===========================================================================
+# 3D momentum (reference: src/u3dbc_im.F, src/v3dbc_im.F)
+# ===========================================================================
+
+def _orl3d_normal(q_gh_stp, q_in_stp, q_in_new, q_in2_new, g_gh, g_in,
+                  pm_edge, dtfwd, cfg, q_ext, inflow_speed):
+    """Normal-component Orlanski for a 3D field at one edge; operands are
+    (nz, len(edge)) slices (reference: u3dbc_im.F:49-110)."""
+    dft = q_in_stp - q_in_new
+    dfx = q_in_new - q_in2_new
+    if cfg.obc_rad_normal:
+        cy = 0.0
+        cff = jnp.maximum(dfx * dfx, EPS)
+    else:
+        dfy = jnp.where(dft * (g_in[..., :-1] + g_in[..., 1:]) > 0.0,
+                        g_in[..., :-1], g_in[..., 1:])
+        cff = jnp.maximum(dfx * dfx + dfy * dfy, EPS)
+        cy = 0.0 if cfg.obc_rad_npo else jnp.minimum(
+            cff, jnp.maximum(dft * dfy, -cff))
+    cx = dft * dfx
+    inflow = cx < 0.0
+    if cfg.frc_bry:
+        # bind toward external data at the external inflow speed, floored by
+        # ubind (reference: u3dbc_im.F:83-92)
+        cext_in = jnp.where(inflow_speed > 0.0, inflow_speed, cfg.ubind) \
+            * dtfwd * pm_edge
+        cext = jnp.where(inflow, cext_in, 0.0)
+    else:
+        cext = 0.0
+    cx = jnp.maximum(cx, 0.0)
+    cy = jnp.where(inflow, 0.0, cy)
+    val = (cff * q_gh_stp + cx * q_in_new
+           - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
+           - jnp.minimum(cy, 0.0) * g_gh[..., 1:]) / (cff + cx)
+    if cfg.frc_bry:
+        val = (1.0 - cext) * val + cext * q_ext
+    return val
+
+
+def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
+          pred_stage: bool = False):
+    """BCs for 3D XI momentum at nnew (reference: src/u3dbc_im.F).
+
+    u_stp: u at time n; u_rhs/v_rhs: velocities at the r.h.s. time level
+    (= time n in the predictor, n+1/2 in the corrector) used by the
+    tangential advective form.
+    """
+    if cfg.fully_periodic:
+        return u_new
+    dtfwd = 0.5 * cfg.dt if pred_stage else cfg.dt
+    u = u_new
+    um = _mask(grid, "umask", cfg)
+    pmk = grid.pmask if cfg.masking else None
+    g2 = cfg.gamma2
+
+    # ---- West/East: normal Orlanski ----------------------------------------
+    if not cfg.ew_periodic:
+        for east in (False, True):
+            open_edge = cfg.obc_east if east else cfg.obc_west
+            gh, in1, in2 = ((-2, -3, -4) if east else (2, 3, 4))
+            ghr, inr = ((-2, -3) if east else (1, 2))
+            if not open_edge:
+                u = u.at[..., :, gh].set(0.0)
+                continue
+            u_ext = _bry(bry, "u_east" if east else "u_west", IN)
+            if cfg.obc_m3 == "orlanski":
+                def grad_col(c):
+                    gcol = u_stp[:, GR, c] - u_stp[:, slice(1, -2), c]
+                    return gcol * pmk[GR, c] if pmk is not None else gcol
+                gpm = 0.5 * (grid.pm[IN, ghr] + grid.pm[IN, inr])
+                inflow_speed = (-u_ext if east else u_ext) \
+                    if cfg.frc_bry else 0.0
+                val = _orl3d_normal(
+                    u_stp[:, IN, gh], u_stp[:, IN, in1], u[:, IN, in1],
+                    u[:, IN, in2], grad_col(gh), grad_col(in1),
+                    gpm, dtfwd, cfg, u_ext, inflow_speed)
+                u = u.at[:, IN, gh].set(_apply_mask(val, um, IN, gh))
+            else:
+                val = u_ext if cfg.obc_m3 == "specified" else u[:, IN, in1]
+                u = u.at[:, IN, gh].set(_apply_mask(val, um, IN, gh))
+
+    # ---- South/North: tangential advective ---------------------------------
+    if not cfg.ns_periodic:
+        for north in (False, True):
+            open_edge = cfg.obc_north if north else cfg.obc_south
+            gh, in1 = ((-2, -3) if north else (1, 2))
+            vrow = -2 if north else 2  # v(jend+1) / v(jstr)
+            if not open_edge:
+                mfac = um[gh, :] if um is not None else 1.0
+                u = u.at[..., gh, :].set(g2 * u[..., in1, :] * mfac)
+                continue
+            u_ext = _bry(bry, "u_north" if north else "u_south",
+                         slice(3, -2))
+            if cfg.obc_m3 == "orlanski":
+                def grad_row(r):
+                    return u_stp[:, r, slice(3, -1)] - u_stp[:, r, slice(2, -2)]
+                g_gh, g_in = grad_row(gh), grad_row(in1)
+                II = slice(3, -2)
+                IW = slice(2, -3)
+                sgn = 1.0 if north else -1.0
+                cx = sgn * 0.125 * dtfwd * (v_rhs[:, vrow, II]
+                                            + v_rhs[:, vrow, IW]) \
+                    * (grid.pn[gh, II] + grid.pn[gh, IW]
+                       + grid.pn[in1, II] + grid.pn[in1, IW])
+                cy = 0.125 * dtfwd * (u_rhs[:, gh, II] + u_rhs[:, in1, II]) \
+                    * (grid.pm[gh, II] + grid.pm[gh, IW]
+                       + grid.pm[in1, II] + grid.pm[in1, IW])
+                cext = jnp.where(cx > 0.0, 0.0, -cx)
+                cx = jnp.maximum(cx, 0.0)
+                val = ((1.0 - cx) * (u_stp[:, gh, II]
+                                     - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
+                                     - jnp.minimum(cy, 0.0) * g_gh[..., 1:])
+                       + cx * (u_stp[:, in1, II]
+                               - jnp.maximum(cy, 0.0) * g_in[..., :-1]
+                               - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
+                if cfg.frc_bry:
+                    val = (1.0 - cext) * val + cext * u_ext
+                u = u.at[:, gh, II].set(_apply_mask(val, um, gh, II))
+            else:
+                II = slice(3, -2)
+                val = u_ext if cfg.obc_m3 == "specified" else u[:, in1, II]
+                u = u.at[:, gh, II].set(_apply_mask(val, um, gh, II))
+
+    u = _uv_corners_u(u, cfg)
+    return u
+
+
+def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
+          pred_stage: bool = False):
+    """BCs for 3D ETA momentum at nnew (reference: src/v3dbc_im.F)."""
+    if cfg.fully_periodic:
+        return v_new
+    dtfwd = 0.5 * cfg.dt if pred_stage else cfg.dt
+    v = v_new
+    vm = _mask(grid, "vmask", cfg)
+    pmk = grid.pmask if cfg.masking else None
+    g2 = cfg.gamma2
+
+    # ---- South/North: normal Orlanski --------------------------------------
+    if not cfg.ns_periodic:
+        for north in (False, True):
+            open_edge = cfg.obc_north if north else cfg.obc_south
+            gh, in1, in2 = ((-2, -3, -4) if north else (2, 3, 4))
+            ghr, inr = ((-2, -3) if north else (1, 2))
+            if not open_edge:
+                v = v.at[..., gh, :].set(0.0)
+                continue
+            v_ext = _bry(bry, "v_north" if north else "v_south", IN)
+            if cfg.obc_m3 == "orlanski":
+                def grad_row(r):
+                    grow = v_stp[:, r, GR] - v_stp[:, r, slice(1, -2)]
+                    return grow * pmk[r, GR] if pmk is not None else grow
+                gpn = 0.5 * (grid.pn[ghr, IN] + grid.pn[inr, IN])
+                inflow_speed = (-v_ext if north else v_ext) \
+                    if cfg.frc_bry else 0.0
+                val = _orl3d_normal(
+                    v_stp[:, gh, IN], v_stp[:, in1, IN], v[:, in1, IN],
+                    v[:, in2, IN], grad_row(gh), grad_row(in1),
+                    gpn, dtfwd, cfg, v_ext, inflow_speed)
+                v = v.at[:, gh, IN].set(_apply_mask(val, vm, gh, IN))
+            else:
+                val = v_ext if cfg.obc_m3 == "specified" else v[:, in1, IN]
+                v = v.at[:, gh, IN].set(_apply_mask(val, vm, gh, IN))
+
+    # ---- West/East: tangential advective -----------------------------------
+    if not cfg.ew_periodic:
+        for east in (False, True):
+            open_edge = cfg.obc_east if east else cfg.obc_west
+            gh, in1 = ((-2, -3) if east else (1, 2))
+            ucol = -2 if east else 2
+            if not open_edge:
+                mfac = vm[:, gh] if vm is not None else 1.0
+                v = v.at[..., :, gh].set(g2 * v[..., :, in1] * mfac)
+                continue
+            v_ext = _bry(bry, "v_east" if east else "v_west", slice(3, -2))
+            if cfg.obc_m3 == "orlanski":
+                def grad_col(c):
+                    return v_stp[:, slice(3, -1), c] - v_stp[:, slice(2, -2), c]
+                g_gh, g_in = grad_col(gh), grad_col(in1)
+                JJ = slice(3, -2)
+                JS = slice(2, -3)
+                sgn = 1.0 if east else -1.0
+                cx = sgn * 0.125 * dtfwd * (u_rhs[:, JJ, ucol]
+                                            + u_rhs[:, JS, ucol]) \
+                    * (grid.pm[JJ, gh] + grid.pm[JS, gh]
+                       + grid.pm[JJ, in1] + grid.pm[JS, in1])
+                cy = 0.125 * dtfwd * (v_rhs[:, JJ, gh] + v_rhs[:, JJ, in1]) \
+                    * (grid.pn[JJ, gh] + grid.pn[JS, gh]
+                       + grid.pn[JJ, in1] + grid.pn[JS, in1])
+                cext = jnp.where(cx > 0.0, 0.0, -cx)
+                cx = jnp.maximum(cx, 0.0)
+                val = ((1.0 - cx) * (v_stp[:, JJ, gh]
+                                     - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
+                                     - jnp.minimum(cy, 0.0) * g_gh[..., 1:])
+                       + cx * (v_stp[:, JJ, in1]
+                               - jnp.maximum(cy, 0.0) * g_in[..., :-1]
+                               - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
+                if cfg.frc_bry:
+                    val = (1.0 - cext) * val + cext * v_ext
+                v = v.at[:, JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+            else:
+                JJ = slice(3, -2)
+                val = v_ext if cfg.obc_m3 == "specified" else v[:, JJ, in1]
+                v = v.at[:, JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+
+    v = _uv_corners_v(v, cfg)
+    return v
+
+
+# ===========================================================================
+# Tracers (reference: src/t3dbc_im.F)
+# ===========================================================================
+
+def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
+          pred_stage: bool = False):
+    """BCs for all tracers at nnew; t arrays are (nt, nz, jy, ix)
+    (reference: src/t3dbc_im.F).
+
+    Open edges use the advective upwinded radiation (OBC_TORLANSKI) or
+    specified data; closed edges are zero-gradient.  The reference's
+    stage-dependent asymmetry is reproduced: the interior donor value is
+    taken at nstp on the west/south edges and nnew on the east/north edges
+    (reference: t3dbc_im.F:63-70 vs :129-136).
+    """
+    if cfg.fully_periodic:
+        return t_new
+    dtfwd = 0.5 * cfg.dt if pred_stage else cfg.dt
+    t = t_new
+    m = grid.rmask if cfg.masking else jnp.ones_like(grid.h)
+    vm = _mask(grid, "vmask", cfg)
+    um = _mask(grid, "umask", cfg)
+    orl = cfg.obc_t == "orlanski"
+
+    if not cfg.ew_periodic:
+        for east in (False, True):
+            open_edge = cfg.obc_east if east else cfg.obc_west
+            gh, in1 = ((-2, -3) if east else (1, 2))
+            ucol = -2 if east else 2
+            t_ext = _bry(bry, "t_east" if east else "t_west", IN)
+            if not open_edge:
+                t = t.at[..., :, gh].set(t[..., :, in1] * m[:, gh])
+                continue
+            if orl:
+                def grad_col(c):
+                    gcol = t_stp[..., GR, c] - t_stp[..., slice(1, -2), c]
+                    return gcol * vm[GR, c] if vm is not None else gcol
+                g_gh, g_in = grad_col(gh), grad_col(in1)
+                sgn = 1.0 if east else -1.0
+                cx = sgn * dtfwd * u_rhs[:, IN, ucol] * grid.pm[IN, gh]
+                cy = 0.5 * dtfwd * (v_rhs[:, slice(2, -2), gh]
+                                    + v_rhs[:, slice(3, -1), gh]) \
+                    * grid.pn[IN, gh]
+                cext = jnp.where(cx > 0.0, 0.0, -cx)
+                cx = jnp.maximum(cx, 0.0)
+                # donor level: nstp on west, nnew on east (see docstring)
+                don = t[..., IN, in1] if east else t_stp[..., IN, in1]
+                val = ((1.0 - cx) * (t_stp[..., IN, gh]
+                                     - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
+                                     - jnp.minimum(cy, 0.0) * g_gh[..., 1:])
+                       + cx * (don
+                               - jnp.maximum(cy, 0.0) * g_in[..., :-1]
+                               - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
+                if cfg.frc_bry:
+                    val = (1.0 - cext) * val + cext * t_ext
+                t = t.at[..., IN, gh].set(val * m[IN, gh])
+            else:  # specified
+                val = t_ext if cfg.frc_bry else t[..., IN, in1]
+                t = t.at[..., IN, gh].set(val * m[IN, gh])
+
+    if not cfg.ns_periodic:
+        for north in (False, True):
+            open_edge = cfg.obc_north if north else cfg.obc_south
+            gh, in1 = ((-2, -3) if north else (1, 2))
+            vrow = -2 if north else 2
+            t_ext = _bry(bry, "t_north" if north else "t_south", IN)
+            if not open_edge:
+                t = t.at[..., gh, :].set(t[..., in1, :] * m[gh, :])
+                continue
+            if orl:
+                def grad_row(r):
+                    grow = t_stp[..., r, GR] - t_stp[..., r, slice(1, -2)]
+                    return grow * um[r, GR] if um is not None else grow
+                g_gh, g_in = grad_row(gh), grad_row(in1)
+                sgn = 1.0 if north else -1.0
+                cx = sgn * dtfwd * v_rhs[:, vrow, IN] * grid.pn[gh, IN]
+                cy = 0.5 * dtfwd * (u_rhs[:, gh, slice(2, -2)]
+                                    + u_rhs[:, gh, slice(3, -1)]) \
+                    * grid.pm[gh, IN]
+                cext = jnp.where(cx > 0.0, 0.0, -cx)
+                cx = jnp.maximum(cx, 0.0)
+                don = t[..., in1, IN] if north else t_stp[..., in1, IN]
+                val = ((1.0 - cx) * (t_stp[..., gh, IN]
+                                     - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
+                                     - jnp.minimum(cy, 0.0) * g_gh[..., 1:])
+                       + cx * (don
+                               - jnp.maximum(cy, 0.0) * g_in[..., :-1]
+                               - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
+                if cfg.frc_bry:
+                    val = (1.0 - cext) * val + cext * t_ext
+                t = t.at[..., gh, IN].set(val * m[gh, IN])
+            else:
+                val = t_ext if cfg.frc_bry else t[..., in1, IN]
+                t = t.at[..., gh, IN].set(val * m[gh, IN])
+
     if not cfg.ew_periodic and not cfg.ns_periodic:
+        # masked corner averages (reference: t3dbc_im.F:315-420)
         def corner(t, jc, ic, ja, ia, jb, ib):
             cff = m[ja, ia] + m[jb, ib]
             avg = jnp.where(cff > 0.0,
                             (m[ja, ia] * t[..., ja, ia]
-                             + m[jb, ib] * t[..., jb, ib]) / jnp.maximum(cff, 1.0),
+                             + m[jb, ib] * t[..., jb, ib])
+                            / jnp.maximum(cff, 1.0),
                             t[..., jc, ic])
             return t.at[..., jc, ic].set(avg)
 
-        # SW: t(istr-1,jstr-1) from t(istr,jstr-1) & t(istr-1,jstr)
         t = corner(t, 1, 1, 1, 2, 2, 1)
         t = corner(t, 1, -2, 1, -3, 2, -2)
         t = corner(t, -2, 1, -2, 2, -3, 1)
         t = corner(t, -2, -2, -2, -3, -3, -2)
     return t
+
+
+# ===========================================================================
+# Backwards-compatible closed-wall wrappers (used by init paths)
+# ===========================================================================
+
+def u_momentum_bc(u, grid, cfg: ModelConfig):
+    """Closed-wall-only BC for u-type fields (no OBC, no boundary data)."""
+    if cfg.fully_periodic:
+        return u
+    g2 = cfg.gamma2
+    um = grid.umask
+    if not cfg.ew_periodic:
+        if not cfg.obc_west:
+            u = u.at[..., :, 2].set(0.0)
+        if not cfg.obc_east:
+            u = u.at[..., :, -2].set(0.0)
+    if not cfg.ns_periodic:
+        if not cfg.obc_south:
+            u = u.at[..., 1, :].set(g2 * u[..., 2, :]
+                                    * (um[1, :] if cfg.masking else 1.0))
+        if not cfg.obc_north:
+            u = u.at[..., -2, :].set(g2 * u[..., -3, :]
+                                     * (um[-2, :] if cfg.masking else 1.0))
+    return u
+
+
+def v_momentum_bc(v, grid, cfg: ModelConfig):
+    if cfg.fully_periodic:
+        return v
+    g2 = cfg.gamma2
+    vm = grid.vmask
+    if not cfg.ns_periodic:
+        if not cfg.obc_south:
+            v = v.at[..., 2, :].set(0.0)
+        if not cfg.obc_north:
+            v = v.at[..., -2, :].set(0.0)
+    if not cfg.ew_periodic:
+        if not cfg.obc_west:
+            v = v.at[..., :, 1].set(g2 * v[..., :, 2]
+                                    * (vm[:, 1] if cfg.masking else 1.0))
+        if not cfg.obc_east:
+            v = v.at[..., :, -2].set(g2 * v[..., :, -3]
+                                     * (vm[:, -2] if cfg.masking else 1.0))
+    return v

@@ -34,6 +34,61 @@ from typing import Optional
 
 
 @struct.dataclass
+class BoundaryData:
+    """Externally specified open-boundary data, one slice per open edge,
+    already time-interpolated to the current step (reference: src/boundary.F
+    zeta/ubar/vbar/u/v/t_{west,east,south,north} arrays filled by
+    set_bry_all).
+
+    West/east arrays run along the padded eta axis (jy,); south/north along
+    the padded xi axis (ix,).  3D fields are (nz, edge); tracers are
+    (nt, nz, edge).  All fields optional — None means that edge has no data
+    (pure radiation / gradient boundary).
+    """
+    zeta_west: Optional[jax.Array] = None
+    zeta_east: Optional[jax.Array] = None
+    zeta_south: Optional[jax.Array] = None
+    zeta_north: Optional[jax.Array] = None
+    ubar_west: Optional[jax.Array] = None
+    ubar_east: Optional[jax.Array] = None
+    ubar_south: Optional[jax.Array] = None
+    ubar_north: Optional[jax.Array] = None
+    vbar_west: Optional[jax.Array] = None
+    vbar_east: Optional[jax.Array] = None
+    vbar_south: Optional[jax.Array] = None
+    vbar_north: Optional[jax.Array] = None
+    u_west: Optional[jax.Array] = None
+    u_east: Optional[jax.Array] = None
+    u_south: Optional[jax.Array] = None
+    u_north: Optional[jax.Array] = None
+    v_west: Optional[jax.Array] = None
+    v_east: Optional[jax.Array] = None
+    v_south: Optional[jax.Array] = None
+    v_north: Optional[jax.Array] = None
+    t_west: Optional[jax.Array] = None
+    t_east: Optional[jax.Array] = None
+    t_south: Optional[jax.Array] = None
+    t_north: Optional[jax.Array] = None
+
+
+def zero_boundary(cfg: ModelConfig, dtype=jnp.float64) -> BoundaryData:
+    """Zero-valued boundary data on every open edge of `cfg`."""
+    h = cfg.halo
+    jy, ix = cfg.ny + 2 * h, cfg.nx + 2 * h
+    kw = {}
+    for edge, n in (("west", jy), ("east", jy), ("south", ix), ("north", ix)):
+        if not getattr(cfg, f"obc_{edge}"):
+            continue
+        kw[f"zeta_{edge}"] = jnp.zeros((n,), dtype)
+        kw[f"ubar_{edge}"] = jnp.zeros((n,), dtype)
+        kw[f"vbar_{edge}"] = jnp.zeros((n,), dtype)
+        kw[f"u_{edge}"] = jnp.zeros((cfg.nz, n), dtype)
+        kw[f"v_{edge}"] = jnp.zeros((cfg.nz, n), dtype)
+        kw[f"t_{edge}"] = jnp.zeros((cfg.nt, cfg.nz, n), dtype)
+    return BoundaryData(**kw)
+
+
+@struct.dataclass
 class Forcing:
     """Surface forcing fields (reference: src/surf_flux.F) plus point
     sources (reference: src/river_frc.F, src/pipe_frc.F)."""
@@ -54,6 +109,13 @@ class Forcing:
     pipe_idx: Optional[jax.Array] = None  # (jy, ix) int32 pipe id (0 = none)
     pipe_prf: Optional[jax.Array] = None  # (npip+1, nz) profile, sums to 1
     pipe_trc: Optional[jax.Array] = None  # (npip+1, nt) tracer conc.
+    # open-boundary data (reference: src/boundary.F via set_bry_all)
+    bry: Optional[BoundaryData] = None
+    # surface tidal potential [m] (reference: src/tides.F ptide,
+    # applied at src/prsgrd.F:210)
+    ptide: Optional[jax.Array] = None
+    # mCDR release forcing (reference: src/cdr_frc.F); CdrForcing pytree
+    cdr: Optional["object"] = None
 
 
 @struct.dataclass
@@ -95,6 +157,17 @@ class OceanState:
     # clock
     iic: jax.Array     # int32 step counter
     time: jax.Array    # model time [s]
+    # outward advective tracer fluxes at open-boundary faces, captured
+    # from the tracer corrector when cfg.upscale_output
+    # (reference: src/upscale_output.F calc_forcing_rates); dict
+    # edge -> (nt, nz, edge_len) or None
+    upscale: Optional[dict] = None
+    # term-by-term tracer budget of the last step when
+    # cfg.tracer_diagnostics (reference: src/diagnostics.F): dict with
+    # keys hadv/vadv/forc/vmix/rate, each (nt, nz, jy, ix), Hz-weighted
+    # tendencies [C*m/step]; vmix is the implicit-solve residual, exactly
+    # the reference's closure (reference: diagnostics.F TXvmix residual)
+    t_budget: Optional[dict] = None
 
 
 def zeros_state(cfg: ModelConfig, dtype=jnp.float64) -> OceanState:

@@ -93,7 +93,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         akv, akt = halo(akv), halo(akt)
 
     ru_p, rv_p = prsgrd_mod.prsgrd(eos_n.rho, eos_n.rho1, eos_n.qp1,
-                                   zr_n, zw_n, hz_n, grid, cfg)
+                                   zr_n, zw_n, hz_n, grid, cfg,
+                                   ptide=forcing.ptide)
 
     # ---- pre_step3d: LF-AM3 predictor to n+1/2 (pre_step3d4S.F:124-545)
     if first_step:
@@ -158,9 +159,12 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     if cfg.river_source:
         u_half, v_half = rivers_mod.overwrite_uv(u_half, v_half, forcing,
                                                  zw_n, grid)
-    u_half = bc.u_momentum_bc(u_half, grid, cfg)
-    v_half = bc.v_momentum_bc(v_half, grid, cfg)
-    t_half = bc.t3dbc(t_half, grid, cfg)
+    u_half = bc.u3dbc(u_half, state.u, state.u, state.v, grid, cfg,
+                      forcing.bry, pred_stage=True)
+    v_half = bc.v3dbc(v_half, state.v, state.u, state.v, grid, cfg,
+                      forcing.bry, pred_stage=True)
+    t_half = bc.t3dbc(t_half, state.t, state.u, state.v, grid, cfg,
+                      forcing.bry, pred_stage=True)
     t_half = halo(t_half)
 
     # ---- set_HUV1: remove barotropic mismatch, fluxes at n+1/2
@@ -190,7 +194,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         akv, akt = halo(akv), halo(akt)
 
     ru_p, rv_p = prsgrd_mod.prsgrd(eos_h.rho, eos_h.rho1, eos_h.qp1,
-                                   zr_n, zw_n, hz_n, grid, cfg)
+                                   zr_n, zw_n, hz_n, grid, cfg,
+                                   ptide=forcing.ptide)
 
     # ---- step3d_uv1: corrector r.h.s. + implicit vertical solve
     # (reference: step3d_uv1.F:123-297, IMPLICIT_BOTTOM_DRAG branch)
@@ -225,10 +230,13 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     rvfrc = jnp.sum(rv, axis=0) + grid.dm_v * grid.dn_v * (
         forcing.svstr - rd_v * vel_v[0])
 
-    # ---- visc3d: lateral harmonic viscosity (reference: src/visc3d_S.F)
-    if cfg.uv_vis2 and cfg.visc2 != 0.0:
+    # ---- visc3d: lateral harmonic viscosity, sponge-enhanced when
+    # grid.visc2_* present (reference: src/visc3d_S.F, src/set_nudgcof.F)
+    if cfg.uv_vis2 and (cfg.visc2 != 0.0 or grid.visc2_r is not None):
         from roms_tpu.ops.hmix import visc3d
-        du_v, dv_v, dru, drv = visc3d(state.u, state.v, hz_n, grid, cfg)
+        du_v, dv_v, dru, drv = visc3d(state.u, state.v, hz_n, grid, cfg,
+                                      visc2_r=grid.visc2_r,
+                                      visc2_p=grid.visc2_p)
         hzu_new = hzu_new + cfg.dt * du_v
         hzv_new = hzv_new + cfg.dt * dv_v
         rufrc = rufrc + dru
@@ -276,8 +284,10 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         v_new = v_new * grid.vmask[None]
 
     # physical boundary conditions (reference: step3d_uv2.F:471-472)
-    u_new = bc.u_momentum_bc(u_new, grid, cfg)
-    v_new = bc.v_momentum_bc(v_new, grid, cfg)
+    u_new = bc.u3dbc(u_new, state.u, u_half, v_half, grid, cfg,
+                     forcing.bry, pred_stage=False)
+    v_new = bc.v3dbc(v_new, state.v, u_half, v_half, grid, cfg,
+                     forcing.bry, pred_stage=False)
 
     # part (b): recompute vertical integrals, barotropic replacement and
     # the n+1/2 flux correction (reference: step3d_uv2.F:521-621)
@@ -319,15 +329,32 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     we, wi = halo(om.we), halo(om.wi)
 
     t_new_list = []
+    upscale_edges = {e: [] for e in ("west", "east", "south", "north")
+                     if getattr(cfg, f"obc_{e}")} if cfg.upscale_output else None
+    budget_terms = ({k: [] for k in ("hadv", "vadv", "forc", "vmix", "rate")}
+                    if cfg.tracer_diagnostics else None)
     for itrc in range(cfg.nt):
         fx, fe = adv.horiz_tracer_flux(t_half[itrc], flx_u_c, flx_v_c, grid,
                                        cfg, cfg.ts_corr_scheme)
         if cfg.river_source:
             fx, fe = rivers_mod.tracer_flux_fix(fx, fe, itrc, None, hz_new,
                                                 zw_new, forcing, grid)
-        t_rhs = hz_n * state.t[itrc] - cfg.dt * _tracer_divergence(fx, fe, pmn)
+        if upscale_edges is not None:
+            # outward advective flux at open-boundary faces
+            # (reference: upscale_output.F:232-313 calc_forcing_rates)
+            if "west" in upscale_edges:
+                upscale_edges["west"].append(-fx[:, 2:-2, 2])
+            if "east" in upscale_edges:
+                upscale_edges["east"].append(fx[:, 2:-2, -2])
+            if "south" in upscale_edges:
+                upscale_edges["south"].append(-fe[:, 2, 2:-2])
+            if "north" in upscale_edges:
+                upscale_edges["north"].append(fe[:, -2, 2:-2])
+        t_base = hz_n * state.t[itrc]
+        term_hadv = -cfg.dt * _tracer_divergence(fx, fe, pmn)
         fc = adv.vert_tracer_flux_spline(t_half[itrc], hz_new, we)
-        t_rhs = t_rhs - cfg.dt * pmn[None] * (fc[1:] - fc[:-1])
+        term_vadv = -cfg.dt * pmn[None] * (fc[1:] - fc[:-1])
+        t_rhs = t_base + term_hadv + term_vadv
         if cfg.pipe_source:
             # pipe tracer load (reference: step3d_t_ISO.F:927-934)
             src3d = kinematics.pipe_profile_3d(forcing, cfg.nz)
@@ -335,6 +362,10 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
             trc_p = jnp.take(forcing.pipe_trc[:, itrc],
                              jnp.clip(forcing.pipe_idx, 0, npip - 1))
             t_rhs = t_rhs + cfg.dt * pmn[None] * src3d * trc_p[None]
+        if forcing.cdr is not None:
+            # mCDR release injection (reference: step3d_t_ISO.F:859-902)
+            from roms_tpu.cdr import apply_cdr
+            t_rhs = apply_cdr(t_rhs, itrc, forcing.cdr, pmn, cfg.dt)
         # surface forcing flux (reference: step3d_t_ISO.F:956-959)
         t_rhs = t_rhs.at[-1].add(cfg.dt * forcing.stflx[itrc])
         if cfg.lmd_kpp:
@@ -358,20 +389,62 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
             t_rhs, hz_new, akt[iakt], wi, pmn, cfg.dt, grid.rmask, cfg,
             apply_mask=True)
         t_new_list.append(t_new_k)
+        if cfg.tracer_diagnostics:
+            # term-by-term budget (reference: src/diagnostics.F:
+            # TXadv/TVadv/TForc explicit; TVmix as the implicit residual)
+            term_forc = t_rhs - t_base - term_hadv - term_vadv
+            rate = hz_new * t_new_k - t_base
+            budget_terms["hadv"].append(term_hadv)
+            budget_terms["vadv"].append(term_vadv)
+            budget_terms["forc"].append(term_forc)
+            budget_terms["vmix"].append(rate - term_hadv - term_vadv
+                                        - term_forc)
+            budget_terms["rate"].append(rate)
     t_new = jnp.stack(t_new_list, axis=0)
 
     # t3dmix lateral diffusion (reference: src/t3dmix_S.F, TS_DIF2)
-    if cfg.ts_dif2 and cfg.tnu2 != 0.0:
+    if cfg.ts_dif2 and (cfg.tnu2 != 0.0 or grid.diff2 is not None):
         from roms_tpu.ops.hmix import t3dmix
-        t_new = t3dmix(t_new, t_half, hz_new, grid, cfg)
+        t_new = t3dmix(t_new, t_half, hz_new, grid, cfg, diff2=grid.diff2)
 
-    t_new = bc.t3dbc(t_new, grid, cfg)
+    t_new = bc.t3dbc(t_new, state.t, u_half, v_half, grid, cfg,
+                     forcing.bry, pred_stage=False)
+
+    # ---- biogeochemistry column physics, applied to the updated tracers
+    # after BCs and before the halo refresh, exactly where the reference
+    # calls MARBL/BEC (reference: step3d_t_ISO.F:1158-1175)
+    if cfg.bgc_model != "none" and cfg.n_bgc > 0:
+        from roms_tpu.bgc.api import BGCContext, get_model
+        model = get_model(cfg.bgc_model)
+        i0 = cfg.nt - cfg.n_bgc
+        ctx = BGCContext(
+            temp=t_new[cfg.itemp],
+            salt=t_new[cfg.isalt] if cfg.salinity else None,
+            z_r=zr_new, z_w=zw_new, hz=hz_new, srflx=forcing.srflx,
+            swr_frac=state.swrf, rmask=grid.rmask, dt=cfg.dt,
+            time=state.time)
+        dtr, _ = model.interior_tendency(t_new[i0:], ctx, None)
+        sfl = model.surface_flux(t_new[i0:], ctx, forcing)
+        t_bgc = t_new[i0:] + cfg.dt * dtr
+        t_bgc = t_bgc.at[:, -1].add(cfg.dt * sfl / hz_new[-1])
+        if cfg.masking:
+            t_bgc = t_bgc * grid.rmask[None, None]
+        t_new = t_new.at[i0:].set(t_bgc)
+
     t_new = halo(t_new)  # (reference: step3d_t_ISO.F:1167-1177)
 
     # final density for diagnostics/output (reference: main.F:479)
     eos_new = eos.rho_eos(t_new, zr_new, zw_new, hz_new, grid.rmask, cfg)
 
+    upscale = None
+    if cfg.upscale_output and upscale_edges is not None:
+        upscale = {e: jnp.stack(v, axis=0) for e, v in upscale_edges.items()}
+    t_budget = None
+    if cfg.tracer_diagnostics:
+        t_budget = {k: jnp.stack(v, axis=0) for k, v in budget_terms.items()}
+
     return state.replace(
+        upscale=upscale, t_budget=t_budget,
         zeta=zeta_new, ubar=ubar_new, vbar=vbar_new,
         u=u_new, v=v_new, u_prev=state.u, v_prev=state.v,
         t=t_new, t_prev=state.t,
