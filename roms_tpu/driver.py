@@ -15,12 +15,22 @@ from roms_tpu.stepper import step
 
 
 def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
-        collect_diag: bool = True, print_diag: bool = False):
+        collect_diag: bool = True, print_diag: bool = False,
+        blowup_check: bool = True, forcing_fn=None, step_hook=None):
     """Advance `nsteps` baroclinic steps; return (state, diag_rows).
 
     diag_rows[i] = (step_index, avke, avke2b, cu_adv, cu_w) matching the
     reference log table (reference: diag.F:540-552, code_check format).
+
+    blowup_check: NaN/Inf watchdog on the diagnostics with clean abort
+    (reference: diag.F:624-634, main.F:71-73).
+    forcing_fn: optional `f(time_seconds, base_forcing) -> Forcing` hook —
+    the set_forces analog for time-dependent forcing (reference: main.F:385).
+    step_hook: optional `f(state, step_index)` called after every step
+    (output writers, particles, ...).
     """
+    from roms_tpu.monitor import check_blowup
+
     if nsteps is None:
         nsteps = cfg.ntimes
     w1, w2, nfast = set_weights(cfg.ndtfast)
@@ -39,9 +49,15 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
             if print_diag:
                 print(f"{iic:3d} {row[1]:.16E} {row[2]:.16E} "
                       f"{row[3]:.16E} {row[4]:.16E}")
+            if blowup_check:
+                check_blowup(row[1:], iic)
 
     log(state, 0)
     for i in range(nsteps):
-        state = step(state, forcing, grid, w1, w2, cfg, first_step=(i == 0))
+        frc = forcing if forcing_fn is None else forcing_fn(
+            float(state.time), forcing)
+        state = step(state, frc, grid, w1, w2, cfg, first_step=(i == 0))
         log(state, i + 1)
+        if step_hook is not None:
+            step_hook(state, i + 1)
     return state, np.asarray(rows)
