@@ -86,6 +86,12 @@ class ModelConfig:
     ts_dif2: bool = True  # TS_DIF2 (no-op when tnu2 == 0)
     lmd_kpp: bool = False  # LMD_KPP vertical mixing
     var_rho_2d: bool = True  # VAR_RHO_2D (reference: set_global_definitions.h:81)
+    # rotated (isoneutral) biharmonic tracer diffusion
+    # (reference: ADV_ISONEUTRAL + SW_TRIADS + STABILIZE,
+    # step3d_t_ISO.F:15-17 both sub-switches default on)
+    adv_isoneutral: bool = False
+    sw_triads: bool = True
+    stabilize: bool = True
 
     # predictor/corrector advection schemes (see AdvScheme docstring)
     ts_pred_scheme: AdvScheme = AdvScheme.CENTERED4

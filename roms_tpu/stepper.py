@@ -333,6 +333,15 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                      if getattr(cfg, f"obc_{e}")} if cfg.upscale_output else None
     budget_terms = ({k: [] for k in ("hadv", "vadv", "forc", "vmix", "rate")}
                     if cfg.tracer_diagnostics else None)
+    iso = None
+    if cfg.adv_isoneutral:
+        # slope/coefficient fields of the rotated biharmonic
+        # (reference: prsgrd.F:306-336 corrector stage,
+        # step3d_uv2.F:571-683 diff3u/diff3v + idRz)
+        from roms_tpu.ops import isoneutral
+        iso = isoneutral.slope_fields(
+            eos_h.rho, eos_h.rho1, eos_h.qp1, zr_new, zw_new, hz_new,
+            hbls, hbbl, u_new, v_new, grid, cfg)
     for itrc in range(cfg.nt):
         fx, fe = adv.horiz_tracer_flux(t_half[itrc], flx_u_c, flx_v_c, grid,
                                        cfg, cfg.ts_corr_scheme)
@@ -385,8 +394,17 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                                       * forcing.stflx[cfg.isalt][None])
                 t_rhs = t_rhs + cfg.dt * (gw[1:] - gw[:-1])
         iakt = min(itrc, cfg.i_t_and_s - 1)
+        akt_eff = akt[iakt]
+        if iso is not None:
+            # rotated biharmonic increment + STABILIZE diffusivity
+            # (reference: step3d_t_ISO.F:255-825, implicit part :1050-1064)
+            incr, akz = isoneutral.isoneutral_increment(
+                state.t[itrc], iso, hz_new, zr_new, grid, cfg, halo)
+            t_rhs = t_rhs + incr
+            if akz is not None:
+                akt_eff = akt_eff.at[1:cfg.nz].add(akz)
         t_new_k = vmix.tracer_implicit(
-            t_rhs, hz_new, akt[iakt], wi, pmn, cfg.dt, grid.rmask, cfg,
+            t_rhs, hz_new, akt_eff, wi, pmn, cfg.dt, grid.rmask, cfg,
             apply_mask=True)
         t_new_list.append(t_new_k)
         if cfg.tracer_diagnostics:
