@@ -208,6 +208,36 @@ def cdr_3d(cfg: ModelConfig, flx_3d: np.ndarray, dtype=jnp.float64) -> CdrForcin
     return CdrForcing(flx_3d=jnp.asarray(flx_3d, dtype))
 
 
+def apply_cdr_all(t_rhs, cdr: CdrForcing, pmn, dt, j0=None, i0=None):
+    """Add the CDR source onto the Hz-weighted tracer r.h.s. for all
+    tracers at once: t_rhs is (nt, nz, jy, ix)
+    (reference: step3d_t_ISO.F:859-902).
+
+    j0/i0: block offsets inside shard_map (grid.j0/i0); release indices are
+    global padded-array indices, converted to block-local here and dropped
+    when outside this block (reference: cdr_frc.F per-rank release search).
+    """
+    if cdr is None:
+        return t_rhs
+    out = t_rhs
+    if cdr.flx_3d is not None:
+        out = out + dt * pmn[None, None] * cdr.flx_3d
+    if cdr.prf is not None and cdr.prf.shape[0] > 0:
+        amp = cdr.prf * cdr.flx[cdr.icdr][:, :, None]             # (nprf, nt, nz)
+        jl, il = cdr.jloc, cdr.iloc
+        if j0 is not None:
+            jl = jl - j0
+            il = il - i0
+            jy, ix = t_rhs.shape[-2:]
+            inb = (jl >= 0) & (jl < jy) & (il >= 0) & (il < ix)
+            jl = jnp.where(inb, jl, 0)
+            il = jnp.where(inb, il, 0)
+            amp = amp * inb[:, None, None]
+        incr = dt * pmn[jl, il][:, None, None] * amp              # (nprf, nt, nz)
+        out = out.at[:, :, jl, il].add(jnp.moveaxis(incr, 0, -1))
+    return out
+
+
 def apply_cdr(t_rhs_itrc, itrc: int, cdr: CdrForcing, pmn, dt):
     """Add the CDR source for tracer itrc onto the Hz-weighted tracer
     r.h.s. (nz, jy, ix) (reference: step3d_t_ISO.F:859-902)."""

@@ -61,3 +61,59 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
         if step_hook is not None:
             step_hook(state, i + 1)
     return state, np.asarray(rows)
+
+
+def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
+                    nsteps: int | None = None, collect_diag: bool = True,
+                    print_diag: bool = False, blowup_check: bool = True,
+                    step_hook=None):
+    """Distributed analog of `run`: inputs are padded-global arrays; the
+    state is converted to block-halo layout, stepped under shard_map on
+    `mesh`, monitored with the deterministic distributed diagnostics
+    (reference: diag.F cross-rank reduction + blowup test diag.F:624-634),
+    and converted back at the end.
+
+    Returns (state_padded_global_numpy, diag_rows).
+    """
+    from roms_tpu.diag import make_distributed_diag
+    from roms_tpu.monitor import check_blowup
+    from roms_tpu.parallel.dist import (from_blocked, make_distributed_step,
+                                        to_blocked)
+
+    if nsteps is None:
+        nsteps = cfg.ntimes
+    w1, w2, _ = set_weights(cfg.ndtfast)
+    dtype = state.zeta.dtype
+    w1 = jnp.asarray(w1, dtype)
+    w2 = jnp.asarray(w2, dtype)
+
+    h = cfg.halo
+    state_b = to_blocked(state, mesh, h)
+    forcing_b = to_blocked(forcing, mesh, h)
+    grid_b = to_blocked(grid, mesh, h)
+    step_first, step_rest = make_distributed_step(cfg, mesh)
+    diag_fn = make_distributed_diag(cfg, mesh) if collect_diag else None
+
+    rows = []
+
+    def log(st, iic):
+        if not collect_diag:
+            return
+        d = diag_fn(st, grid_b)
+        row = (iic, float(d.avke), float(d.avke2b),
+               float(d.cu_adv), float(d.cu_w))
+        rows.append(row)
+        if print_diag:
+            print(f"{iic:3d} {row[1]:.16E} {row[2]:.16E} "
+                  f"{row[3]:.16E} {row[4]:.16E}")
+        if blowup_check:
+            check_blowup(row[1:], iic)
+
+    log(state_b, 0)
+    for i in range(nsteps):
+        fn = step_first if i == 0 else step_rest
+        state_b = fn(state_b, forcing_b, grid_b, w1, w2)
+        log(state_b, i + 1)
+        if step_hook is not None:
+            step_hook(state_b, i + 1)
+    return from_blocked(state_b, mesh, h), np.asarray(rows)

@@ -69,6 +69,19 @@ class Grid:
     visc2_r: Optional[jax.Array] = None
     visc2_p: Optional[jax.Array] = None
     diff2: Optional[jax.Array] = None
+    # --- distributed edge ownership (set inside shard_map only) ------------
+    # Scalar bools: does this shard's block touch the given physical domain
+    # edge?  None (single block) means "owns every edge".  The TPU analog of
+    # the reference's edge-rank tests (reference: src/mpi_setup.F:115-155
+    # inode/jnode edge logic, src/hidden_mpi_vars.F west_msg_exch flags).
+    own_w: Optional[jax.Array] = None
+    own_e: Optional[jax.Array] = None
+    own_s: Optional[jax.Array] = None
+    own_n: Optional[jax.Array] = None
+    # Offsets of this block's origin within the padded global array (for
+    # converting global point-source indices to local ones); None = 0.
+    j0: Optional[jax.Array] = None
+    i0: Optional[jax.Array] = None
 
 
 def build_grid(cfg: ModelConfig, h, pm, pn, f, rmask, xr=None, yr=None,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from roms_tpu.config import AdvScheme, ModelConfig
-from roms_tpu.parallel.halo import shift
+from roms_tpu.parallel.halo import eset, shift
 
 # literal constants copied from the reference sources (bit-identical floats)
 DELTA_UV = 0.1666666666666667     # (reference: pre_step3d4S.F:84)
@@ -39,8 +39,8 @@ def horiz_tracer_flux(tk, flx_u, flx_v, grid, cfg: ModelConfig, scheme: AdvSchem
     if not cfg.ew_periodic:
         # extrapolate elementary differences at the physical edges
         # (reference: compute_horiz_tracer_fluxes.h:74-83)
-        dx = dx.at[..., :, 1].set(dx[..., :, 2])
-        dx = dx.at[..., :, -1].set(dx[..., :, -2])
+        dx = eset(dx, (Ellipsis, slice(None), 1), dx[..., :, 2], grid.own_w)
+        dx = eset(dx, (Ellipsis, slice(None), -1), dx[..., :, -2], grid.own_e)
     if scheme is AdvScheme.UPSTREAM3:
         curv = shift(dx, 0, 1) - dx
         fx = (0.5 * (tk + shift(tk, 0, -1)) * flx_u
@@ -61,8 +61,8 @@ def horiz_tracer_flux(tk, flx_u, flx_v, grid, cfg: ModelConfig, scheme: AdvSchem
         de = de * grid.vmask[None]
     if not cfg.ns_periodic:
         # (reference: compute_horiz_tracer_fluxes.h:155-164)
-        de = de.at[..., 1, :].set(de[..., 2, :])
-        de = de.at[..., -1, :].set(de[..., -2, :])
+        de = eset(de, (Ellipsis, 1, slice(None)), de[..., 2, :], grid.own_s)
+        de = eset(de, (Ellipsis, -1, slice(None)), de[..., -2, :], grid.own_n)
     if scheme is AdvScheme.UPSTREAM3:
         curv = shift(de, 1, 0) - de
         fe = (0.5 * (tk + shift(tk, -1, 0)) * flx_v
@@ -95,7 +95,8 @@ def coriolis_rhs(u, v, hz, grid, cfg: ModelConfig):
     return ru, rv
 
 
-def horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg: ModelConfig, scheme: AdvScheme):
+def horiz_uv_adv_rhs(u, v, flx_u, flx_v, grid, cfg: ModelConfig,
+                     scheme: AdvScheme):
     """Horizontal momentum advection divergence added to (ru, rv)
     (reference: compute_horiz_rhs_uv_terms.h:42-291)."""
     upstream = scheme is AdvScheme.UPSTREAM3
@@ -104,14 +105,18 @@ def horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg: ModelConfig, scheme: AdvScheme):
         """Physical-edge extrapolation of second differences
         (reference: compute_horiz_rhs_uv_terms.h:71-84 etc.)."""
         if not cfg.ew_periodic:
-            a = a.at[..., :, dst_w].set(a[..., :, src_w])
-            a = a.at[..., :, dst_e].set(a[..., :, src_e])
+            a = eset(a, (Ellipsis, slice(None), dst_w), a[..., :, src_w],
+                     grid.own_w)
+            a = eset(a, (Ellipsis, slice(None), dst_e), a[..., :, src_e],
+                     grid.own_e)
         return a
 
     def fix_ns(a, dst_s=2, src_s=3, dst_n=-2, src_n=-3):
         if not cfg.ns_periodic:
-            a = a.at[..., dst_s, :].set(a[..., src_s, :])
-            a = a.at[..., dst_n, :].set(a[..., src_n, :])
+            a = eset(a, (Ellipsis, dst_s, slice(None)), a[..., src_s, :],
+                     grid.own_s)
+            a = eset(a, (Ellipsis, dst_n, slice(None)), a[..., src_n, :],
+                     grid.own_n)
         return a
 
     # UFx: diagonal u-flux at rho points (reference: :65-101)

@@ -28,26 +28,47 @@ from roms_tpu.ops import rivers as rivers_mod
 from roms_tpu.parallel.halo import shift
 
 
-def _interior_mask(shape, cfg: ModelConfig, stagger: str):
-    """Static mask of points updated by the interior fast-averaging
-    formula; the complement gets the boundary-strip formula
-    (reference: step2d_FB.F:407-439 interior vs :474-528 edge strips)."""
+def _interior_mask(shape, cfg: ModelConfig, stagger: str, grid=None):
+    """Mask of points updated by the interior fast-averaging formula; the
+    complement gets the boundary-strip formula (reference:
+    step2d_FB.F:407-439 interior vs :474-528 edge strips).
+
+    Single block: a static numpy mask.  Distributed (grid.own_* set): the
+    edge strips are knocked out only on blocks owning the physical edge.
+    """
     jy, ix = shape
-    m = np.ones(shape, bool)
-    if stagger == "u":
-        if not cfg.ew_periodic:
-            m[:, :3] = False          # west of Fortran istrU=2
-            m[:, ix - 2:] = False     # east of Fortran iend=nx
-        if not cfg.ns_periodic:
-            m[:2, :] = False
-            m[jy - 2:, :] = False
-    else:
-        if not cfg.ns_periodic:
-            m[:3, :] = False
-            m[jy - 2:, :] = False
-        if not cfg.ew_periodic:
-            m[:, :2] = False
-            m[:, ix - 2:] = False
+    own = None if grid is None else (grid.own_w, grid.own_e,
+                                     grid.own_s, grid.own_n)
+    if own is None or all(o is None for o in own):
+        m = np.ones(shape, bool)
+        if stagger == "u":
+            if not cfg.ew_periodic:
+                m[:, :3] = False          # west of Fortran istrU=2
+                m[:, ix - 2:] = False     # east of Fortran iend=nx
+            if not cfg.ns_periodic:
+                m[:2, :] = False
+                m[jy - 2:, :] = False
+        else:
+            if not cfg.ns_periodic:
+                m[:3, :] = False
+                m[jy - 2:, :] = False
+            if not cfg.ew_periodic:
+                m[:, :2] = False
+                m[:, ix - 2:] = False
+        return jnp.asarray(m)
+
+    ow, oe, os_, on = own
+    col = jnp.arange(ix)
+    row = jnp.arange(jy)
+    m = jnp.ones(shape, bool)
+    wlim = 3 if stagger == "u" else 2
+    slim = 3 if stagger == "v" else 2
+    if not cfg.ew_periodic:
+        m = m & ~(ow & (col < wlim))[None, :]
+        m = m & ~(oe & (col >= ix - 2))[None, :]
+    if not cfg.ns_periodic:
+        m = m & ~(os_ & (row < slim))[:, None]
+        m = m & ~(on & (row >= jy - 2))[:, None]
     return m
 
 # AB3-AM4 coefficient regimes (reference: step2d_FB.F:77-100)
@@ -220,8 +241,8 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
     incr_u = cff1 * grid.dn_u * du_new
     incr_v = cff1 * grid.dm_v * dv_new
     if not cfg.fully_periodic:
-        mu = jnp.asarray(_interior_mask(du_new.shape, cfg, "u"))
-        mv = jnp.asarray(_interior_mask(dv_new.shape, cfg, "v"))
+        mu = _interior_mask(du_new.shape, cfg, "u", grid)
+        mv = _interior_mask(dv_new.shape, cfg, "v", grid)
         edge_u = cff1 * (dnew + dnew_w) * ubar_new * grid.dn_u
         edge_v = cff1 * (dnew + dnew_s) * vbar_new * grid.dm_v
         incr_u = jnp.where(mu, incr_u, edge_u)

@@ -20,9 +20,12 @@ interior rho point is index 2 / -3, the physical ghost ring is 1 / -2.
 u(istr) (the westernmost normal-velocity point) is python column 2;
 u(iend+1) is column -2; v(jstr) is row 2; v(jend+1) is row -2.
 
-Single-block only: under a device mesh, physical-edge application needs
-per-shard edge ownership masks (the distributed entry currently runs
-fully-periodic configs).
+Distributed: inside shard_map every local block looks exactly like a small
+single-block padded array, so the same index map applies; each edge write
+is gated by the block's edge-ownership flag (grid.own_w/e/s/n, traced from
+lax.axis_index) so only shards whose block touches the physical domain
+edge apply it — the analog of the reference's per-rank edge trimming
+(reference: src/mpi_setup.F:115-155, src/u2dbc_im.F edge guards).
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from roms_tpu.config import ModelConfig
+from roms_tpu.parallel.halo import band, eset
 
 EPS = 1e-33
 # Flather free-surface correction threshold 1-1/sqrt(2)
@@ -40,6 +44,31 @@ FLATHER_CX0 = 0.292893218813452
 IN = slice(2, -2)
 # grad range (Fortran jstr..jend+1 / istr..iend+1)
 GR = slice(2, -1)
+# widened tangential-velocity update range: istrU-1..iend (covers the
+# first staggered point of every block; the global istrU trim is applied
+# by _trim_lo on west/south-owning blocks)
+INW = slice(2, -2)
+IWW = slice(1, -3)
+GRW = slice(2, -1)   # grad high range
+GLW = slice(1, -2)   # grad low range
+
+
+def _trim_lo(val, orig, own_lo):
+    """Drop the first edge-parallel position (local index 2, Fortran istr /
+    jstr) from a tangential-BC update on blocks owning the low end of the
+    edge: the staggered range starts at istrU=istr+1 there (reference:
+    u2dbc_im.F istrU loop start), while on seam blocks local index 2 is an
+    interior staggered point that must be updated."""
+    val = jnp.asarray(val)
+    if val.ndim == 0:
+        val = jnp.broadcast_to(val, orig.shape)
+    n = orig.shape[-1]
+    col = jnp.arange(2, 2 + n)
+    if own_lo is None:
+        keep = col >= 3
+    else:
+        keep = jnp.logical_or(jnp.logical_not(own_lo), col >= 3)
+    return jnp.where(keep, val, orig)
 
 
 def _bry(bry, name, rng=None):
@@ -87,35 +116,47 @@ def zetabc(z_new, z_stp, grid, cfg: ModelConfig, bry=None):
         if cfg.obc_west and flather:
             cx = dtf * grid.pm[IN, 2] * jnp.sqrt(g * grid.h[IN, 2])
             val = (1.0 - cx) * z_stp[IN, 1] + cx * z_stp[IN, 2]
-            z = z.at[IN, 1].set(_apply_mask(val, m, IN, 1))
+            z = eset(z, (IN, 1), _apply_mask(val, m, IN, 1), grid.own_w)
         else:
-            z = z.at[:, 1].set(z[:, 2] * (m[:, 1] if m is not None else 1.0))
+            z = eset(z, (slice(None), 1),
+                     z[:, 2] * (m[:, 1] if m is not None else 1.0),
+                     grid.own_w)
         if cfg.obc_east and flather:
             cx = dtf * grid.pm[IN, -3] * jnp.sqrt(g * grid.h[IN, -3])
             val = (1.0 - cx) * z_stp[IN, -2] + cx * z_stp[IN, -3]
-            z = z.at[IN, -2].set(_apply_mask(val, m, IN, -2))
+            z = eset(z, (IN, -2), _apply_mask(val, m, IN, -2), grid.own_e)
         else:
-            z = z.at[:, -2].set(z[:, -3] * (m[:, -2] if m is not None else 1.0))
+            z = eset(z, (slice(None), -2),
+                     z[:, -3] * (m[:, -2] if m is not None else 1.0),
+                     grid.own_e)
     if not cfg.ns_periodic:
         if cfg.obc_south and flather:
             cx = dtf * grid.pn[2, IN] * jnp.sqrt(g * grid.h[2, IN])
             val = (1.0 - cx) * z_stp[1, IN] + cx * z_stp[2, IN]
-            z = z.at[1, IN].set(_apply_mask(val, m, 1, IN))
+            z = eset(z, (1, IN), _apply_mask(val, m, 1, IN), grid.own_s)
         else:
-            z = z.at[1, :].set(z[2, :] * (m[1, :] if m is not None else 1.0))
+            z = eset(z, (1, slice(None)),
+                     z[2, :] * (m[1, :] if m is not None else 1.0),
+                     grid.own_s)
         if cfg.obc_north and flather:
             cx = dtf * grid.pn[-3, IN] * jnp.sqrt(g * grid.h[-3, IN])
             val = (1.0 - cx) * z_stp[-2, IN] + cx * z_stp[-3, IN]
-            z = z.at[-2, IN].set(_apply_mask(val, m, -2, IN))
+            z = eset(z, (-2, IN), _apply_mask(val, m, -2, IN), grid.own_n)
         else:
-            z = z.at[-2, :].set(z[-3, :] * (m[-2, :] if m is not None else 1.0))
+            z = eset(z, (-2, slice(None)),
+                     z[-3, :] * (m[-2, :] if m is not None else 1.0),
+                     grid.own_n)
     if not cfg.ew_periodic and not cfg.ns_periodic:
         # ghost corners = average of the two adjacent ghosts
         # (reference: zetabc.F corner section)
-        z = z.at[1, 1].set(0.5 * (z[1, 2] + z[2, 1]))
-        z = z.at[1, -2].set(0.5 * (z[1, -3] + z[2, -2]))
-        z = z.at[-2, 1].set(0.5 * (z[-2, 2] + z[-3, 1]))
-        z = z.at[-2, -2].set(0.5 * (z[-2, -3] + z[-3, -2]))
+        z = eset(z, (1, 1), 0.5 * (z[1, 2] + z[2, 1]),
+                 band(grid.own_s, grid.own_w))
+        z = eset(z, (1, -2), 0.5 * (z[1, -3] + z[2, -2]),
+                 band(grid.own_s, grid.own_e))
+        z = eset(z, (-2, 1), 0.5 * (z[-2, 2] + z[-3, 1]),
+                 band(grid.own_n, grid.own_w))
+        z = eset(z, (-2, -2), 0.5 * (z[-2, -3] + z[-3, -2]),
+                 band(grid.own_n, grid.own_e))
     return z
 
 
@@ -180,11 +221,14 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
+            own = grid.own_e if east else grid.own_w
             gh, in1, in2 = ((-2, -3, -4) if east else (2, 3, 4))
             ghr, inr = ((-2, -3) if east else (1, 2))  # rho cols ghost/in
             sgn = 1.0 if east else -1.0
             if not open_edge:
-                u = u.at[..., :, gh].set(0.0)  # closed wall, no-flux
+                # closed wall, no-flux
+                u = eset(u, (Ellipsis, slice(None), gh), 0.0 * u[..., :, gh],
+                         own)
                 continue
             ub_ext = _bry(bry, "ubar_east" if east else "ubar_west", IN)
             z_ext = _bry(bry, "zeta_east" if east else "zeta_west", IN)
@@ -198,7 +242,7 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
                 val = 0.5 * ((1.0 - cx) * ubar_stp[IN, gh]
                              + cx * ubar_stp[IN, in1]
                              + ub_ext + sgn * hx * (zx - z_ext))
-                u = u.at[IN, gh].set(_apply_mask(val, um, IN, gh))
+                u = eset(u, (IN, gh), _apply_mask(val, um, IN, gh), own)
             elif cfg.obc_m2 == "orlanski":
                 def grad_col(c):
                     gcol = ubar_stp[GR, c] - ubar_stp[slice(1, -2), c]
@@ -208,10 +252,10 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
                     ubar_stp[IN, gh], ubar_stp[IN, in1], u[IN, in1],
                     u[IN, in2], grad_col(gh), grad_col(in1),
                     gpm, dtf, cfg, ub_ext, z_new[IN, inr], z_ext, gpm)
-                u = u.at[IN, gh].set(_apply_mask(val, um, IN, gh))
+                u = eset(u, (IN, gh), _apply_mask(val, um, IN, gh), own)
             else:  # specified / gradient
                 val = ub_ext if cfg.obc_m2 == "specified" else u[IN, in1]
-                u = u.at[IN, gh].set(_apply_mask(val, um, IN, gh))
+                u = eset(u, (IN, gh), _apply_mask(val, um, IN, gh), own)
 
     # ---- South/North: tangential component ---------------------------------
     # Orlanski-2D advective form whenever the edge is open and the scheme is
@@ -219,20 +263,21 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
+            own = grid.own_n if north else grid.own_s
             gh, in1 = ((-2, -3) if north else (1, 2))
             if not open_edge:
                 mfac = um[gh, :] if um is not None else 1.0
-                u = u.at[..., gh, :].set(g2 * u[..., in1, :] * mfac)
+                u = eset(u, (Ellipsis, gh, slice(None)),
+                         g2 * u[..., in1, :] * mfac, own)
                 continue
-            ub_ext = _bry(bry, "ubar_north" if north else "ubar_south",
-                          slice(3, -2))
+            II = INW            # istrU-1..iend (see _trim_lo)
+            IW = IWW            # i-1
+            ub_ext = _bry(bry, "ubar_north" if north else "ubar_south", II)
             if cfg.obc_m2 in ("flather", "orlanski"):
-                # grads along i at rows gh, in1 for i = istrU-1..iend
+                # grads along i at rows gh, in1 for i = istrU-2..iend
                 def grad_row(r):
-                    return ubar_stp[r, slice(3, -1)] - ubar_stp[r, slice(2, -2)]
+                    return ubar_stp[r, GRW] - ubar_stp[r, GLW]
                 g_gh, g_in = grad_row(gh), grad_row(in1)
-                II = slice(3, -2)   # istrU..iend
-                IW = slice(2, -3)   # i-1
                 sgn = 1.0 if north else -1.0
                 vrow = -2 if north else 2  # vbar(jend+1) / vbar(jstr)
                 cx = sgn * 0.125 * dtf * (vbar_stp[vrow, II]
@@ -252,38 +297,51 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
                                - jnp.minimum(cy, 0.0) * g_in[1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * ub_ext
-                u = u.at[gh, II].set(_apply_mask(val, um, gh, II))
+                val = _trim_lo(_apply_mask(val, um, gh, II), u[gh, II],
+                               grid.own_w)
+                u = eset(u, (gh, II), val, own)
             else:  # specified / gradient
-                II = slice(3, -2)
                 val = ub_ext if cfg.obc_m2 == "specified" else u[in1, II]
-                u = u.at[gh, II].set(_apply_mask(val, um, gh, II))
+                val = _trim_lo(_apply_mask(val, um, gh, II), u[gh, II],
+                               grid.own_w)
+                u = eset(u, (gh, II), val, own)
 
     # ---- open-open corners (reference: u2dbc_im.F:455-478) ----------------
-    u = _uv_corners_u(u, cfg)
+    u = _uv_corners_u(u, cfg, grid)
     return u
 
 
-def _uv_corners_u(u, cfg: ModelConfig):
+def _uv_corners_u(u, cfg: ModelConfig, grid):
     if cfg.obc_south and cfg.obc_west:
-        u = u.at[..., 1, 2].set(0.5 * (u[..., 1, 3] + u[..., 2, 2]))
+        u = eset(u, (Ellipsis, 1, 2), 0.5 * (u[..., 1, 3] + u[..., 2, 2]),
+                 band(grid.own_s, grid.own_w))
     if cfg.obc_south and cfg.obc_east:
-        u = u.at[..., 1, -2].set(0.5 * (u[..., 1, -3] + u[..., 2, -2]))
+        u = eset(u, (Ellipsis, 1, -2), 0.5 * (u[..., 1, -3] + u[..., 2, -2]),
+                 band(grid.own_s, grid.own_e))
     if cfg.obc_north and cfg.obc_west:
-        u = u.at[..., -2, 2].set(0.5 * (u[..., -2, 3] + u[..., -3, 2]))
+        u = eset(u, (Ellipsis, -2, 2), 0.5 * (u[..., -2, 3] + u[..., -3, 2]),
+                 band(grid.own_n, grid.own_w))
     if cfg.obc_north and cfg.obc_east:
-        u = u.at[..., -2, -2].set(0.5 * (u[..., -2, -3] + u[..., -3, -2]))
+        u = eset(u, (Ellipsis, -2, -2),
+                 0.5 * (u[..., -2, -3] + u[..., -3, -2]),
+                 band(grid.own_n, grid.own_e))
     return u
 
 
-def _uv_corners_v(v, cfg: ModelConfig):
+def _uv_corners_v(v, cfg: ModelConfig, grid):
     if cfg.obc_south and cfg.obc_west:
-        v = v.at[..., 2, 1].set(0.5 * (v[..., 3, 1] + v[..., 2, 2]))
+        v = eset(v, (Ellipsis, 2, 1), 0.5 * (v[..., 3, 1] + v[..., 2, 2]),
+                 band(grid.own_s, grid.own_w))
     if cfg.obc_south and cfg.obc_east:
-        v = v.at[..., 2, -2].set(0.5 * (v[..., 3, -2] + v[..., 2, -3]))
+        v = eset(v, (Ellipsis, 2, -2), 0.5 * (v[..., 3, -2] + v[..., 2, -3]),
+                 band(grid.own_s, grid.own_e))
     if cfg.obc_north and cfg.obc_west:
-        v = v.at[..., -2, 1].set(0.5 * (v[..., -3, 1] + v[..., -2, 2]))
+        v = eset(v, (Ellipsis, -2, 1), 0.5 * (v[..., -3, 1] + v[..., -2, 2]),
+                 band(grid.own_n, grid.own_w))
     if cfg.obc_north and cfg.obc_east:
-        v = v.at[..., -2, -2].set(0.5 * (v[..., -3, -2] + v[..., -2, -3]))
+        v = eset(v, (Ellipsis, -2, -2),
+                 0.5 * (v[..., -3, -2] + v[..., -2, -3]),
+                 band(grid.own_n, grid.own_e))
     return v
 
 
@@ -302,11 +360,13 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
+            own = grid.own_n if north else grid.own_s
             gh, in1, in2 = ((-2, -3, -4) if north else (2, 3, 4))
             ghr, inr = ((-2, -3) if north else (1, 2))
             sgn = 1.0 if north else -1.0
             if not open_edge:
-                v = v.at[..., gh, :].set(0.0)
+                v = eset(v, (Ellipsis, gh, slice(None)), 0.0 * v[..., gh, :],
+                         own)
                 continue
             vb_ext = _bry(bry, "vbar_north" if north else "vbar_south", IN)
             z_ext = _bry(bry, "zeta_north" if north else "zeta_south", IN)
@@ -320,7 +380,7 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
                 val = 0.5 * ((1.0 - cx) * vbar_stp[gh, IN]
                              + cx * vbar_stp[in1, IN]
                              + vb_ext + sgn * hx * (zx - z_ext))
-                v = v.at[gh, IN].set(_apply_mask(val, vm, gh, IN))
+                v = eset(v, (gh, IN), _apply_mask(val, vm, gh, IN), own)
             elif cfg.obc_m2 == "orlanski":
                 def grad_row(r):
                     grow = vbar_stp[r, GR] - vbar_stp[r, slice(1, -2)]
@@ -330,28 +390,29 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
                     vbar_stp[gh, IN], vbar_stp[in1, IN], v[in1, IN],
                     v[in2, IN], grad_row(gh), grad_row(in1),
                     gpn, dtf, cfg, vb_ext, z_new[inr, IN], z_ext, gpn)
-                v = v.at[gh, IN].set(_apply_mask(val, vm, gh, IN))
+                v = eset(v, (gh, IN), _apply_mask(val, vm, gh, IN), own)
             else:
                 val = vb_ext if cfg.obc_m2 == "specified" else v[in1, IN]
-                v = v.at[gh, IN].set(_apply_mask(val, vm, gh, IN))
+                v = eset(v, (gh, IN), _apply_mask(val, vm, gh, IN), own)
 
     # ---- West/East: tangential component -----------------------------------
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
+            own = grid.own_e if east else grid.own_w
             gh, in1 = ((-2, -3) if east else (1, 2))
             if not open_edge:
                 mfac = vm[:, gh] if vm is not None else 1.0
-                v = v.at[..., :, gh].set(g2 * v[..., :, in1] * mfac)
+                v = eset(v, (Ellipsis, slice(None), gh),
+                         g2 * v[..., :, in1] * mfac, own)
                 continue
-            vb_ext = _bry(bry, "vbar_east" if east else "vbar_west",
-                          slice(3, -2))
+            JJ = INW            # jstrV-1..jend (see _trim_lo)
+            JS = IWW            # j-1
+            vb_ext = _bry(bry, "vbar_east" if east else "vbar_west", JJ)
             if cfg.obc_m2 in ("flather", "orlanski"):
                 def grad_col(c):
-                    return vbar_stp[slice(3, -1), c] - vbar_stp[slice(2, -2), c]
+                    return vbar_stp[GRW, c] - vbar_stp[GLW, c]
                 g_gh, g_in = grad_col(gh), grad_col(in1)
-                JJ = slice(3, -2)   # jstrV..jend
-                JS = slice(2, -3)   # j-1
                 sgn = 1.0 if east else -1.0
                 ucol = -2 if east else 2  # ubar(iend+1) / ubar(istr)
                 cx = sgn * 0.125 * dtf * (ubar_stp[JJ, ucol]
@@ -371,13 +432,16 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
                                - jnp.minimum(cy, 0.0) * g_in[1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * vb_ext
-                v = v.at[JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+                val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[JJ, gh],
+                               grid.own_s)
+                v = eset(v, (JJ, gh), val, own)
             else:
-                JJ = slice(3, -2)
                 val = vb_ext if cfg.obc_m2 == "specified" else v[JJ, in1]
-                v = v.at[JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+                val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[JJ, gh],
+                               grid.own_s)
+                v = eset(v, (JJ, gh), val, own)
 
-    v = _uv_corners_v(v, cfg)
+    v = _uv_corners_v(v, cfg, grid)
     return v
 
 
@@ -440,10 +504,12 @@ def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
+            own = grid.own_e if east else grid.own_w
             gh, in1, in2 = ((-2, -3, -4) if east else (2, 3, 4))
             ghr, inr = ((-2, -3) if east else (1, 2))
             if not open_edge:
-                u = u.at[..., :, gh].set(0.0)
+                u = eset(u, (Ellipsis, slice(None), gh), 0.0 * u[..., :, gh],
+                         own)
                 continue
             u_ext = _bry(bry, "u_east" if east else "u_west", IN)
             if cfg.obc_m3 == "orlanski":
@@ -457,29 +523,32 @@ def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                     u_stp[:, IN, gh], u_stp[:, IN, in1], u[:, IN, in1],
                     u[:, IN, in2], grad_col(gh), grad_col(in1),
                     gpm, dtfwd, cfg, u_ext, inflow_speed)
-                u = u.at[:, IN, gh].set(_apply_mask(val, um, IN, gh))
+                u = eset(u, (slice(None), IN, gh),
+                         _apply_mask(val, um, IN, gh), own)
             else:
                 val = u_ext if cfg.obc_m3 == "specified" else u[:, IN, in1]
-                u = u.at[:, IN, gh].set(_apply_mask(val, um, IN, gh))
+                u = eset(u, (slice(None), IN, gh),
+                         _apply_mask(val, um, IN, gh), own)
 
     # ---- South/North: tangential advective ---------------------------------
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
+            own = grid.own_n if north else grid.own_s
             gh, in1 = ((-2, -3) if north else (1, 2))
             vrow = -2 if north else 2  # v(jend+1) / v(jstr)
             if not open_edge:
                 mfac = um[gh, :] if um is not None else 1.0
-                u = u.at[..., gh, :].set(g2 * u[..., in1, :] * mfac)
+                u = eset(u, (Ellipsis, gh, slice(None)),
+                         g2 * u[..., in1, :] * mfac, own)
                 continue
-            u_ext = _bry(bry, "u_north" if north else "u_south",
-                         slice(3, -2))
+            II = INW
+            IW = IWW
+            u_ext = _bry(bry, "u_north" if north else "u_south", II)
             if cfg.obc_m3 == "orlanski":
                 def grad_row(r):
-                    return u_stp[:, r, slice(3, -1)] - u_stp[:, r, slice(2, -2)]
+                    return u_stp[:, r, GRW] - u_stp[:, r, GLW]
                 g_gh, g_in = grad_row(gh), grad_row(in1)
-                II = slice(3, -2)
-                IW = slice(2, -3)
                 sgn = 1.0 if north else -1.0
                 cx = sgn * 0.125 * dtfwd * (v_rhs[:, vrow, II]
                                             + v_rhs[:, vrow, IW]) \
@@ -498,13 +567,16 @@ def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                                - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * u_ext
-                u = u.at[:, gh, II].set(_apply_mask(val, um, gh, II))
+                val = _trim_lo(_apply_mask(val, um, gh, II), u[:, gh, II],
+                               grid.own_w)
+                u = eset(u, (slice(None), gh, II), val, own)
             else:
-                II = slice(3, -2)
                 val = u_ext if cfg.obc_m3 == "specified" else u[:, in1, II]
-                u = u.at[:, gh, II].set(_apply_mask(val, um, gh, II))
+                val = _trim_lo(_apply_mask(val, um, gh, II), u[:, gh, II],
+                               grid.own_w)
+                u = eset(u, (slice(None), gh, II), val, own)
 
-    u = _uv_corners_u(u, cfg)
+    u = _uv_corners_u(u, cfg, grid)
     return u
 
 
@@ -523,10 +595,12 @@ def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
+            own = grid.own_n if north else grid.own_s
             gh, in1, in2 = ((-2, -3, -4) if north else (2, 3, 4))
             ghr, inr = ((-2, -3) if north else (1, 2))
             if not open_edge:
-                v = v.at[..., gh, :].set(0.0)
+                v = eset(v, (Ellipsis, gh, slice(None)), 0.0 * v[..., gh, :],
+                         own)
                 continue
             v_ext = _bry(bry, "v_north" if north else "v_south", IN)
             if cfg.obc_m3 == "orlanski":
@@ -540,28 +614,32 @@ def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                     v_stp[:, gh, IN], v_stp[:, in1, IN], v[:, in1, IN],
                     v[:, in2, IN], grad_row(gh), grad_row(in1),
                     gpn, dtfwd, cfg, v_ext, inflow_speed)
-                v = v.at[:, gh, IN].set(_apply_mask(val, vm, gh, IN))
+                v = eset(v, (slice(None), gh, IN),
+                         _apply_mask(val, vm, gh, IN), own)
             else:
                 val = v_ext if cfg.obc_m3 == "specified" else v[:, in1, IN]
-                v = v.at[:, gh, IN].set(_apply_mask(val, vm, gh, IN))
+                v = eset(v, (slice(None), gh, IN),
+                         _apply_mask(val, vm, gh, IN), own)
 
     # ---- West/East: tangential advective -----------------------------------
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
+            own = grid.own_e if east else grid.own_w
             gh, in1 = ((-2, -3) if east else (1, 2))
             ucol = -2 if east else 2
             if not open_edge:
                 mfac = vm[:, gh] if vm is not None else 1.0
-                v = v.at[..., :, gh].set(g2 * v[..., :, in1] * mfac)
+                v = eset(v, (Ellipsis, slice(None), gh),
+                         g2 * v[..., :, in1] * mfac, own)
                 continue
-            v_ext = _bry(bry, "v_east" if east else "v_west", slice(3, -2))
+            JJ = INW
+            JS = IWW
+            v_ext = _bry(bry, "v_east" if east else "v_west", JJ)
             if cfg.obc_m3 == "orlanski":
                 def grad_col(c):
-                    return v_stp[:, slice(3, -1), c] - v_stp[:, slice(2, -2), c]
+                    return v_stp[:, GRW, c] - v_stp[:, GLW, c]
                 g_gh, g_in = grad_col(gh), grad_col(in1)
-                JJ = slice(3, -2)
-                JS = slice(2, -3)
                 sgn = 1.0 if east else -1.0
                 cx = sgn * 0.125 * dtfwd * (u_rhs[:, JJ, ucol]
                                             + u_rhs[:, JS, ucol]) \
@@ -580,13 +658,16 @@ def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                                - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * v_ext
-                v = v.at[:, JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+                val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[:, JJ, gh],
+                               grid.own_s)
+                v = eset(v, (slice(None), JJ, gh), val, own)
             else:
-                JJ = slice(3, -2)
                 val = v_ext if cfg.obc_m3 == "specified" else v[:, JJ, in1]
-                v = v.at[:, JJ, gh].set(_apply_mask(val, vm, JJ, gh))
+                val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[:, JJ, gh],
+                               grid.own_s)
+                v = eset(v, (slice(None), JJ, gh), val, own)
 
-    v = _uv_corners_v(v, cfg)
+    v = _uv_corners_v(v, cfg, grid)
     return v
 
 
@@ -617,11 +698,13 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
+            own = grid.own_e if east else grid.own_w
             gh, in1 = ((-2, -3) if east else (1, 2))
             ucol = -2 if east else 2
             t_ext = _bry(bry, "t_east" if east else "t_west", IN)
             if not open_edge:
-                t = t.at[..., :, gh].set(t[..., :, in1] * m[:, gh])
+                t = eset(t, (Ellipsis, slice(None), gh),
+                         t[..., :, in1] * m[:, gh], own)
                 continue
             if orl:
                 def grad_col(c):
@@ -645,19 +728,21 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                                - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * t_ext
-                t = t.at[..., IN, gh].set(val * m[IN, gh])
+                t = eset(t, (Ellipsis, IN, gh), val * m[IN, gh], own)
             else:  # specified
                 val = t_ext if cfg.frc_bry else t[..., IN, in1]
-                t = t.at[..., IN, gh].set(val * m[IN, gh])
+                t = eset(t, (Ellipsis, IN, gh), val * m[IN, gh], own)
 
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
+            own = grid.own_n if north else grid.own_s
             gh, in1 = ((-2, -3) if north else (1, 2))
             vrow = -2 if north else 2
             t_ext = _bry(bry, "t_north" if north else "t_south", IN)
             if not open_edge:
-                t = t.at[..., gh, :].set(t[..., in1, :] * m[gh, :])
+                t = eset(t, (Ellipsis, gh, slice(None)),
+                         t[..., in1, :] * m[gh, :], own)
                 continue
             if orl:
                 def grad_row(r):
@@ -680,26 +765,26 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                                - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * t_ext
-                t = t.at[..., gh, IN].set(val * m[gh, IN])
+                t = eset(t, (Ellipsis, gh, IN), val * m[gh, IN], own)
             else:
                 val = t_ext if cfg.frc_bry else t[..., in1, IN]
-                t = t.at[..., gh, IN].set(val * m[gh, IN])
+                t = eset(t, (Ellipsis, gh, IN), val * m[gh, IN], own)
 
     if not cfg.ew_periodic and not cfg.ns_periodic:
         # masked corner averages (reference: t3dbc_im.F:315-420)
-        def corner(t, jc, ic, ja, ia, jb, ib):
+        def corner(t, jc, ic, ja, ia, jb, ib, own):
             cff = m[ja, ia] + m[jb, ib]
             avg = jnp.where(cff > 0.0,
                             (m[ja, ia] * t[..., ja, ia]
                              + m[jb, ib] * t[..., jb, ib])
                             / jnp.maximum(cff, 1.0),
                             t[..., jc, ic])
-            return t.at[..., jc, ic].set(avg)
+            return eset(t, (Ellipsis, jc, ic), avg, own)
 
-        t = corner(t, 1, 1, 1, 2, 2, 1)
-        t = corner(t, 1, -2, 1, -3, 2, -2)
-        t = corner(t, -2, 1, -2, 2, -3, 1)
-        t = corner(t, -2, -2, -2, -3, -3, -2)
+        t = corner(t, 1, 1, 1, 2, 2, 1, band(grid.own_s, grid.own_w))
+        t = corner(t, 1, -2, 1, -3, 2, -2, band(grid.own_s, grid.own_e))
+        t = corner(t, -2, 1, -2, 2, -3, 1, band(grid.own_n, grid.own_w))
+        t = corner(t, -2, -2, -2, -3, -3, -2, band(grid.own_n, grid.own_e))
     return t
 
 
@@ -715,16 +800,20 @@ def u_momentum_bc(u, grid, cfg: ModelConfig):
     um = grid.umask
     if not cfg.ew_periodic:
         if not cfg.obc_west:
-            u = u.at[..., :, 2].set(0.0)
+            u = eset(u, (Ellipsis, slice(None), 2), 0.0 * u[..., :, 2],
+                     grid.own_w)
         if not cfg.obc_east:
-            u = u.at[..., :, -2].set(0.0)
+            u = eset(u, (Ellipsis, slice(None), -2), 0.0 * u[..., :, -2],
+                     grid.own_e)
     if not cfg.ns_periodic:
         if not cfg.obc_south:
-            u = u.at[..., 1, :].set(g2 * u[..., 2, :]
-                                    * (um[1, :] if cfg.masking else 1.0))
+            u = eset(u, (Ellipsis, 1, slice(None)),
+                     g2 * u[..., 2, :] * (um[1, :] if cfg.masking else 1.0),
+                     grid.own_s)
         if not cfg.obc_north:
-            u = u.at[..., -2, :].set(g2 * u[..., -3, :]
-                                     * (um[-2, :] if cfg.masking else 1.0))
+            u = eset(u, (Ellipsis, -2, slice(None)),
+                     g2 * u[..., -3, :] * (um[-2, :] if cfg.masking else 1.0),
+                     grid.own_n)
     return u
 
 
@@ -735,14 +824,18 @@ def v_momentum_bc(v, grid, cfg: ModelConfig):
     vm = grid.vmask
     if not cfg.ns_periodic:
         if not cfg.obc_south:
-            v = v.at[..., 2, :].set(0.0)
+            v = eset(v, (Ellipsis, 2, slice(None)), 0.0 * v[..., 2, :],
+                     grid.own_s)
         if not cfg.obc_north:
-            v = v.at[..., -2, :].set(0.0)
+            v = eset(v, (Ellipsis, -2, slice(None)), 0.0 * v[..., -2, :],
+                     grid.own_n)
     if not cfg.ew_periodic:
         if not cfg.obc_west:
-            v = v.at[..., :, 1].set(g2 * v[..., :, 2]
-                                    * (vm[:, 1] if cfg.masking else 1.0))
+            v = eset(v, (Ellipsis, slice(None), 1),
+                     g2 * v[..., :, 2] * (vm[:, 1] if cfg.masking else 1.0),
+                     grid.own_w)
         if not cfg.obc_east:
-            v = v.at[..., :, -2].set(g2 * v[..., :, -3]
-                                     * (vm[:, -2] if cfg.masking else 1.0))
+            v = eset(v, (Ellipsis, slice(None), -2),
+                     g2 * v[..., :, -3] * (vm[:, -2] if cfg.masking else 1.0),
+                     grid.own_e)
     return v

@@ -263,12 +263,21 @@ def _rot_fluxes(T, iso: IsoFields, hz, z_r, grid, cfg: ModelConfig,
 def _lap_bc(lap, grid, cfg: ModelConfig):
     """Ghost values of the intermediate Laplacian
     (reference: step3d_t_ISO.F:521-570): 0 at walls, gradient at OBC."""
+    from roms_tpu.parallel.halo import eset
     if not cfg.ew_periodic:
-        lap = lap.at[..., :, 1].set(lap[..., :, 2] if cfg.obc_west else 0.0)
-        lap = lap.at[..., :, -2].set(lap[..., :, -3] if cfg.obc_east else 0.0)
+        lap = eset(lap, (Ellipsis, slice(None), 1),
+                   lap[..., :, 2] if cfg.obc_west else 0.0 * lap[..., :, 1],
+                   grid.own_w)
+        lap = eset(lap, (Ellipsis, slice(None), -2),
+                   lap[..., :, -3] if cfg.obc_east else 0.0 * lap[..., :, -2],
+                   grid.own_e)
     if not cfg.ns_periodic:
-        lap = lap.at[..., 1, :].set(lap[..., 2, :] if cfg.obc_south else 0.0)
-        lap = lap.at[..., -2, :].set(lap[..., -3, :] if cfg.obc_north else 0.0)
+        lap = eset(lap, (Ellipsis, 1, slice(None)),
+                   lap[..., 2, :] if cfg.obc_south else 0.0 * lap[..., 1, :],
+                   grid.own_s)
+        lap = eset(lap, (Ellipsis, -2, slice(None)),
+                   lap[..., -3, :] if cfg.obc_north else 0.0 * lap[..., -2, :],
+                   grid.own_n)
     return lap
 
 

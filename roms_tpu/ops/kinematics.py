@@ -143,18 +143,28 @@ def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float,
 
     # physical-edge ghost copies incl. corners (reference: omega.F:171-231)
     if cfg is not None and not cfg.fully_periodic:
+        from roms_tpu.parallel.halo import band, eset
+
         def edge_copy(a):
             if not cfg.ew_periodic:
-                a = a.at[..., :, 1].set(a[..., :, 2])
-                a = a.at[..., :, -2].set(a[..., :, -3])
+                a = eset(a, (Ellipsis, slice(None), 1), a[..., :, 2],
+                         grid.own_w)
+                a = eset(a, (Ellipsis, slice(None), -2), a[..., :, -3],
+                         grid.own_e)
             if not cfg.ns_periodic:
-                a = a.at[..., 1, :].set(a[..., 2, :])
-                a = a.at[..., -2, :].set(a[..., -3, :])
+                a = eset(a, (Ellipsis, 1, slice(None)), a[..., 2, :],
+                         grid.own_s)
+                a = eset(a, (Ellipsis, -2, slice(None)), a[..., -3, :],
+                         grid.own_n)
             if not cfg.ew_periodic and not cfg.ns_periodic:
-                a = a.at[..., 1, 1].set(a[..., 2, 2])
-                a = a.at[..., 1, -2].set(a[..., 2, -3])
-                a = a.at[..., -2, 1].set(a[..., -3, 2])
-                a = a.at[..., -2, -2].set(a[..., -3, -3])
+                a = eset(a, (Ellipsis, 1, 1), a[..., 2, 2],
+                         band(grid.own_s, grid.own_w))
+                a = eset(a, (Ellipsis, 1, -2), a[..., 2, -3],
+                         band(grid.own_s, grid.own_e))
+                a = eset(a, (Ellipsis, -2, 1), a[..., -3, 2],
+                         band(grid.own_n, grid.own_w))
+                a = eset(a, (Ellipsis, -2, -2), a[..., -3, -3],
+                         band(grid.own_n, grid.own_e))
             return a
 
         we = edge_copy(we)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from roms_tpu.config import ModelConfig
-from roms_tpu.parallel.halo import shift
+from roms_tpu.parallel.halo import eset, shift
 
 # ---- KPP constants (reference: lmd_kpp.F:60-84) --------------------------
 RICR = 0.15
@@ -126,15 +126,18 @@ def _smooth2d(wrk, grid, cfg: ModelConfig):
     return out
 
 
-def _fill_phys_edges_2d(a, cfg: ModelConfig):
+def _fill_phys_edges_2d(a, cfg: ModelConfig, grid=None):
     """Zero-gradient copy into the first physical-edge ghost ring
     (reference: lmd_kpp.F:545-581 hbls padding)."""
+    ow = oe = os_ = on = None
+    if grid is not None:
+        ow, oe, os_, on = grid.own_w, grid.own_e, grid.own_s, grid.own_n
     if not cfg.ew_periodic:
-        a = a.at[..., :, 1].set(a[..., :, 2])
-        a = a.at[..., :, -2].set(a[..., :, -3])
+        a = eset(a, (Ellipsis, slice(None), 1), a[..., :, 2], ow)
+        a = eset(a, (Ellipsis, slice(None), -2), a[..., :, -3], oe)
     if not cfg.ns_periodic:
-        a = a.at[..., 1, :].set(a[..., 2, :])
-        a = a.at[..., -2, :].set(a[..., -3, :])
+        a = eset(a, (Ellipsis, 1, slice(None)), a[..., 2, :], os_)
+        a = eset(a, (Ellipsis, -2, slice(None)), a[..., -3, :], on)
     return a
 
 
@@ -197,12 +200,7 @@ def interior_mix(u, v, bvf, z_r, z_w, grid, cfg: ModelConfig):
     rig = bvf[1:nz] / (RI0 * jnp.maximum(dudz ** 2 + dvdz ** 2, 1.0e-10))
 
     # SMOOTH_RIG: edge fill then isotropic smoothing per level
-    if not cfg.ew_periodic:
-        rig = rig.at[..., :, 1].set(rig[..., :, 2])
-        rig = rig.at[..., :, -2].set(rig[..., :, -3])
-    if not cfg.ns_periodic:
-        rig = rig.at[..., 1, :].set(rig[..., 2, :])
-        rig = rig.at[..., -2, :].set(rig[..., -3, :])
+    rig = _fill_phys_edges_2d(rig, cfg, grid)
     cffs, cff1 = 1.0 / 12.0, 3.0 / 16.0
     fx = (rig - shift(rig, 0, -1))
     fe1 = (rig - shift(rig, -1, 0))
@@ -352,8 +350,8 @@ def lmd_kpp(u, v, t, bvf, z_r, z_w, hz, kv, kt, ks, swrf, forcing,
         bbl_new = bbl_new * grid.rmask
 
     # ---- SMOOTH_HBL (reference: lmd_kpp.F:312-327) -----------------------
-    hbl_new = _smooth2d(_fill_phys_edges_2d(hbl_new, cfg), grid, cfg)
-    bbl_new = _smooth2d(_fill_phys_edges_2d(bbl_new, cfg), grid, cfg)
+    hbl_new = _smooth2d(_fill_phys_edges_2d(hbl_new, cfg, grid), grid, cfg)
+    bbl_new = _smooth2d(_fill_phys_edges_2d(bbl_new, cfg, grid), grid, cfg)
 
     if not first_step:   # time filter (reference: lmd_kpp.F:336-349)
         hbl_new = 0.5 * (hbl_new + hbls_old)
@@ -422,8 +420,8 @@ def lmd_kpp(u, v, t, bvf, z_r, z_w, hz, kv, kt, ks, swrf, forcing,
         kt_new = jnp.where(water, kt_new, 0.0)
         ks_new = jnp.where(water, ks_new, 0.0)
 
-    hbls = _fill_phys_edges_2d(hbl_new, cfg)
-    hbbl = _fill_phys_edges_2d(bbl_new, cfg)
+    hbls = _fill_phys_edges_2d(hbl_new, cfg, grid)
+    hbbl = _fill_phys_edges_2d(bbl_new, cfg, grid)
     if cfg.salinity:
         akt = jnp.stack([kt_new, ks_new], axis=0)
     else:

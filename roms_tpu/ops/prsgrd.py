@@ -110,16 +110,25 @@ def prsgrd(rho, rho1, qp1, z_r, z_w, hz, grid, cfg: ModelConfig, ptide=None):
 
         # extrapolate elementary differences near physical boundaries
         # (reference: prsgrd.F:256-269, :369-382)
+        from roms_tpu.parallel.halo import eset
         if ax == 1 and not cfg.ew_periodic:
-            FC = FC.at[..., :, 2].set(FC[..., :, 3])
-            FC = FC.at[..., :, -2].set(FC[..., :, -3])
-            rx = rx.at[..., :, 2].set(rx[..., :, 3])
-            rx = rx.at[..., :, -2].set(rx[..., :, -3])
+            FC = eset(FC, (Ellipsis, slice(None), 2), FC[..., :, 3],
+                      grid.own_w)
+            FC = eset(FC, (Ellipsis, slice(None), -2), FC[..., :, -3],
+                      grid.own_e)
+            rx = eset(rx, (Ellipsis, slice(None), 2), rx[..., :, 3],
+                      grid.own_w)
+            rx = eset(rx, (Ellipsis, slice(None), -2), rx[..., :, -3],
+                      grid.own_e)
         if ax == 0 and not cfg.ns_periodic:
-            FC = FC.at[..., 2, :].set(FC[..., 3, :])
-            FC = FC.at[..., -2, :].set(FC[..., -3, :])
-            rx = rx.at[..., 2, :].set(rx[..., 3, :])
-            rx = rx.at[..., -2, :].set(rx[..., -3, :])
+            FC = eset(FC, (Ellipsis, 2, slice(None)), FC[..., 3, :],
+                      grid.own_s)
+            FC = eset(FC, (Ellipsis, -2, slice(None)), FC[..., -3, :],
+                      grid.own_n)
+            rx = eset(rx, (Ellipsis, 2, slice(None)), rx[..., 3, :],
+                      grid.own_s)
+            rx = eset(rx, (Ellipsis, -2, slice(None)), rx[..., -3, :],
+                      grid.own_n)
 
         # horizontal harmonic averages are both zero-guarded
         # (reference: prsgrd.F:271-290, epsil=0)

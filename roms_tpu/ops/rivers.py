@@ -64,6 +64,27 @@ def overwrite_barotropic(ubar, vbar, du_avg1, dv_avg1, dnew, forcing, grid):
     return ubar, vbar, du_avg1, dv_avg1
 
 
+def tracer_flux_fix_all(fx, fe, hz, z_w, forcing, grid):
+    """Replace advective tracer fluxes at river faces with the river's
+    tracer load, batched over all tracers: fx/fe are (nt, nz, jy, ix)
+    (reference: compute_horiz_tracer_fluxes.h:217-246)."""
+    au, fu, iu = _decode(forcing.riv_uflx, forcing.riv_vol)
+    av, fv, iv = _decode(forcing.riv_vflx, forcing.riv_vol)
+    uvel = fu / depth_u(z_w)      # NOTE: no dn_u here (matches reference)
+    vvel = fv / depth_v(z_w)
+    nriv = forcing.riv_vol.shape[0]
+    # (nt, jy, ix) river tracer concentration gathered at every face
+    trc_u = jnp.moveaxis(forcing.riv_trc[jnp.clip(iu, 0, nriv - 1)], -1, 0)
+    trc_v = jnp.moveaxis(forcing.riv_trc[jnp.clip(iv, 0, nriv - 1)], -1, 0)
+    hzu = 0.5 * (hz + shift(hz, 0, -1))
+    hzv = 0.5 * (hz + shift(hz, -1, 0))
+    fx = jnp.where(au[None, None], trc_u[:, None] * (hzu * uvel[None])[None],
+                   fx)
+    fe = jnp.where(av[None, None], trc_v[:, None] * (hzv * vvel[None])[None],
+                   fe)
+    return fx, fe
+
+
 def tracer_flux_fix(fx, fe, itrc, t_dummy, hz, z_w, forcing, grid):
     """Replace advective tracer fluxes at river faces with the river's
     tracer load (reference: compute_horiz_tracer_fluxes.h:217-246)."""

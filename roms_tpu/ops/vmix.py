@@ -87,6 +87,31 @@ def tracer_implicit(t_rhs, hz_col, akt, wi, pmn, dtau, rmask, cfg: ModelConfig,
     return jnp.concatenate([t_rev[::-1], t_top[None]], axis=0)
 
 
+def tracer_implicit_all(t_rhs, hz_col, akt_b, wi, pmn, dtau, rmask,
+                        cfg: ModelConfig, apply_mask: bool):
+    """Batched `tracer_implicit` over the leading tracer axis.
+
+    t_rhs: (nt, nz, ..) Hz-weighted tracer content; akt_b: (nt, nz+1, ..)
+    per-tracer diffusivity (already gathered/augmented by the caller).
+    One vmapped scan over nz replaces the reference's per-tracer loop
+    (reference: step3d_t_ISO.F itrc loop) — the HLO stays flat in nt.
+    """
+    import jax
+
+    def one(tr, ak):
+        return tracer_implicit(tr, hz_col, ak, wi, pmn, dtau, rmask, cfg,
+                               apply_mask)
+
+    return jax.vmap(one, in_axes=(0, 0))(t_rhs, akt_b)
+
+
+def gather_akt(akt, cfg: ModelConfig):
+    """Per-tracer diffusivity table (nt, nz+1, ..): tracer i uses
+    akt[min(i, iTandS-1)] (reference: src/tracers.F iTandS clamp)."""
+    idx = jnp.asarray([min(i, cfg.i_t_and_s - 1) for i in range(cfg.nt)])
+    return akt[idx]
+
+
 def momentum_implicit(rhs, hz_face, akv_face, wi_face, dc0, dtau, sstr,
                       cfg: ModelConfig, bottom_drag_coeff=None):
     """Implicit vertical viscosity + implicit vertical advection solve for

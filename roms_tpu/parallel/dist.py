@@ -2,12 +2,23 @@
 
 The TPU-native replacement of the reference's MPI domain decomposition
 (reference: src/mpi_setup.F NP_XI x NP_ETA rank grid + src/mpi_exchanges.F
-halo messages): one `jax.sharding.Mesh(('y','x'))` over all chips, state
-stored as *unpadded* global arrays sharded over their trailing (j, i) dims,
-and the full baroclinic step run under `shard_map`.  Inside the mapped
-function every field is locally padded with 2 ghost cells and refreshed by
-`HaloExchange` (lax.ppermute over ICI neighbor links) exactly where the
-reference calls exchange_xxx.
+halo messages): one `jax.sharding.Mesh(('y','x'))` over all chips, with the
+state held in **block-halo layout** — each device owns its interior block
+of the padded global array PLUS its own 2-deep ghost ring, exactly like an
+MPI rank's local array in the reference (reference:
+src/set_global_definitions.h:136-153 GLOBAL_2D_ARRAY with margins).
+
+Inside `shard_map` every local block therefore looks like a small
+single-block padded array, so `step_impl` runs verbatim; ghost zones are
+refreshed by `HaloExchange` (lax.ppermute over ICI neighbor links) exactly
+where the reference calls exchange_xxx, physical-edge ghost strips are kept
+(not wrapped) on non-periodic axes, and the BC kernels apply only on blocks
+owning a physical domain edge via the grid.own_w/e/s/n flags (the analog of
+the reference's edge-rank logic, reference: src/mpi_setup.F:115-155).
+
+Because the ghost rings are part of the persisted layout, the physical
+boundary ring (the prognostic Orlanski/Flather ghost values) survives
+between steps with no per-step pad/crop traffic.
 
 Scaling story: each step performs O(10) 3D-field exchanges plus nfast 2D
 exchanges in the barotropic scan — identical communication structure to the
@@ -22,11 +33,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from roms_tpu.config import ModelConfig
 from roms_tpu.parallel.halo import HaloExchange
-from roms_tpu.stepper import step_impl
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -44,59 +55,185 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(dev_grid, ("y", "x"))
 
 
-def _is_spatial(leaf) -> bool:
-    return hasattr(leaf, "ndim") and leaf.ndim >= 2
+# ---------------------------------------------------------------------------
+# Leaf classification (by field name, since shapes are ambiguous: riv_trc is
+# (nriv, nt), bry fields are (nz, edge), etc.)
+# ---------------------------------------------------------------------------
+
+# non-spatial array fields of Grid / Forcing / CdrForcing / OceanState
+_REPLICATED = {
+    "cs_w", "cs_r", "area", "volume", "iic", "time",
+    "riv_vol", "riv_trc", "pipe_prf", "pipe_trc",
+    "iloc", "jloc", "icdr", "prf", "flx",
+    "own_w", "own_e", "own_s", "own_n", "j0", "i0",
+}
 
 
-def _spec_for(leaf):
-    if _is_spatial(leaf):
+def _leaf_kind(path, leaf) -> str:
+    """'spatial' | 'edge_y' | 'edge_x' | 'replicated' for one pytree leaf."""
+    name = ""
+    for k in reversed(path):
+        if hasattr(k, "name"):
+            name = k.name
+            break
+        if hasattr(k, "key"):
+            name = str(k.key)
+            break
+    if name in _REPLICATED:
+        return "replicated"
+    if name.endswith("_west") or name.endswith("_east"):
+        return "edge_y"
+    if name.endswith("_south") or name.endswith("_north"):
+        return "edge_x"
+    if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+        return "spatial"
+    return "replicated"
+
+
+def _spec_of(kind: str, leaf) -> P:
+    if kind == "spatial":
         return P(*([None] * (leaf.ndim - 2)), "y", "x")
+    if kind == "edge_y":
+        return P(*([None] * (leaf.ndim - 1)), "y")
+    if kind == "edge_x":
+        return P(*([None] * (leaf.ndim - 1)), "x")
     return P()
 
 
 def specs_like(tree):
-    return jax.tree_util.tree_map(_spec_for, tree)
+    """PartitionSpec pytree for a block-halo-layout tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: _spec_of(_leaf_kind(p, leaf), leaf), tree)
 
 
-def pad_local(a, h: int):
-    if not _is_spatial(a):
-        return a
-    widths = [(0, 0)] * (a.ndim - 2) + [(h, h), (h, h)]
-    return jnp.pad(a, widths)
+# ---------------------------------------------------------------------------
+# Block-halo layout conversion (host side, at setup / output time)
+# ---------------------------------------------------------------------------
+
+def _block_axis(a, n_blocks: int, h: int, axis: int):
+    """Cut one padded axis (len = interior + 2h) into n overlapping blocks
+    of (interior/n + 2h), concatenated along the same axis."""
+    m = (a.shape[axis] - 2 * h) // n_blocks
+    parts = []
+    for b in range(n_blocks):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(b * m, b * m + m + 2 * h)
+        parts.append(a[tuple(sl)])
+    return jnp.concatenate(parts, axis=axis)
 
 
-def crop_local(a, h: int):
-    if not _is_spatial(a):
-        return a
-    return a[..., h:-h, h:-h]
+def _unblock_axis(a, n_blocks: int, h: int, axis: int):
+    """Inverse of _block_axis: reassemble the padded global axis, taking
+    interiors from every block and the outer ghost strips from the two
+    edge blocks."""
+    a = np.asarray(a)
+    mb = a.shape[axis] // n_blocks        # m + 2h
+    m = mb - 2 * h
+    out_len = n_blocks * m + 2 * h
+    sh = list(a.shape)
+    sh[axis] = out_len
+    out = np.zeros(sh, a.dtype)
+
+    def sl(arr, start, stop, ax):
+        s = [slice(None)] * arr.ndim
+        s[ax] = slice(start, stop)
+        return s
+
+    for b in range(n_blocks):
+        src = a[tuple(sl(a, b * mb, (b + 1) * mb, axis))]
+        lo = 0 if b == 0 else h
+        hi = mb if b == n_blocks - 1 else mb - h
+        out[tuple(sl(out, b * m + lo, b * m + hi, axis))] = \
+            src[tuple(sl(src, lo, hi, axis))]
+    return out
 
 
-def unpad_tree(tree, h: int):
-    """Strip the global ghost ring (host-side state → distributed layout)."""
-    return jax.tree_util.tree_map(lambda a: crop_local(a, h), tree)
+def to_blocked(tree, mesh: Mesh, h: int, put: bool = True):
+    """Padded-global pytree → block-halo layout, device_put with the right
+    sharding (the analog of the reference's `partit` splitting,
+    reference: Tools-Roms/partit.F)."""
+    py, px = mesh.devices.shape
+
+    def conv(path, leaf):
+        kind = _leaf_kind(path, leaf)
+        if kind == "spatial":
+            leaf = _block_axis(leaf, py, h, leaf.ndim - 2)
+            leaf = _block_axis(leaf, px, h, leaf.ndim - 1)
+        elif kind == "edge_y":
+            leaf = _block_axis(leaf, py, h, leaf.ndim - 1)
+        elif kind == "edge_x":
+            leaf = _block_axis(leaf, px, h, leaf.ndim - 1)
+        if put:
+            leaf = jax.device_put(
+                leaf, NamedSharding(mesh, _spec_of(kind, leaf)))
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(conv, tree)
 
 
-def pad_tree_periodic(tree, h: int, halo_fill):
-    """Re-attach a ghost ring on a gathered global state."""
-    return jax.tree_util.tree_map(
-        lambda a: halo_fill(pad_local(a, h)) if _is_spatial(a) else a, tree)
+def from_blocked(tree, mesh: Mesh, h: int):
+    """Block-halo layout pytree → padded-global numpy pytree (the analog of
+    the reference's `ncjoin`, reference: Tools-Roms/ncjoin.F)."""
+    py, px = mesh.devices.shape
+
+    def conv(path, leaf):
+        kind = _leaf_kind(path, leaf)
+        leaf = np.asarray(leaf)
+        if kind == "spatial":
+            leaf = _unblock_axis(leaf, px, h, leaf.ndim - 1)
+            leaf = _unblock_axis(leaf, py, h, leaf.ndim - 2)
+        elif kind == "edge_y":
+            leaf = _unblock_axis(leaf, py, h, leaf.ndim - 1)
+        elif kind == "edge_x":
+            leaf = _unblock_axis(leaf, px, h, leaf.ndim - 1)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(conv, tree)
+
+
+# ---------------------------------------------------------------------------
+# The distributed step
+# ---------------------------------------------------------------------------
+
+def _with_ownership(grid, cfg: ModelConfig, py: int, px: int):
+    """Attach per-block physical-edge ownership flags + block offsets
+    (reference: src/mpi_setup.F:115-155 edge-rank logic)."""
+    iy = lax.axis_index("y")
+    ix = lax.axis_index("x")
+    my = cfg.ny // py
+    mx = cfg.nx // px
+    return grid.replace(
+        own_w=(ix == 0), own_e=(ix == px - 1),
+        own_s=(iy == 0), own_n=(iy == py - 1),
+        j0=iy * my, i0=ix * mx)
 
 
 def make_distributed_step(cfg: ModelConfig, mesh: Mesh):
-    """Build a jitted distributed step: (state, forcing, grid, w1, w2,
-    first_step) -> state, with all spatial arrays unpadded and sharded
-    P(..., 'y', 'x')."""
-    ex = HaloExchange(axis_x="x", axis_y="y", h=cfg.halo)
+    """Build jitted distributed steps (first_step True/False):
+    (state, forcing, grid, w1, w2) -> state, everything in block-halo
+    layout sharded P(.., 'y', 'x')."""
+    from roms_tpu.stepper import step_impl
+
+    py, px = mesh.devices.shape
+    if cfg.ny % py or cfg.nx % px:
+        raise ValueError(
+            f"grid {cfg.ny}x{cfg.nx} not divisible by mesh {py}x{px}")
+    if cfg.ny // py < 4 or cfg.nx // px < 4:
+        raise ValueError("blocks must be at least 4 points wide")
+    if cfg.upscale_output:
+        raise NotImplementedError(
+            "upscale_output captures global edge slices; run it single-chip")
+
+    def _strip_locals(out):
+        # per-block diagnostics whose global assembly is not defined yet
+        return out.replace(upscale=None, t_budget=None)
+    ex = HaloExchange(h=cfg.halo, ew_periodic=cfg.ew_periodic,
+                      ns_periodic=cfg.ns_periodic)
 
     def local_step(state, forcing, grid, w1, w2, first_step):
-        pad = lambda t: jax.tree_util.tree_map(
-            lambda a: ex(pad_local(a, cfg.halo)) if _is_spatial(a) else a, t)
-        state_p = pad(state)
-        forcing_p = pad(forcing)
-        grid_p = pad(grid)
-        out = step_impl(state_p, forcing_p, grid_p, w1, w2, cfg,
-                        first_step, ex)
-        return jax.tree_util.tree_map(lambda a: crop_local(a, cfg.halo), out)
+        grid = _with_ownership(grid, cfg, py, px)
+        return _strip_locals(
+            step_impl(state, forcing, grid, w1, w2, cfg, first_step, ex))
 
     def build(first_step: bool):
         fn = partial(local_step, first_step=first_step)
@@ -114,10 +251,8 @@ def make_distributed_step(cfg: ModelConfig, mesh: Mesh):
 
 
 def shard_tree(tree, mesh: Mesh):
-    """device_put a pytree of unpadded global arrays with (..,'y','x')
-    sharding (scalars/1D replicated)."""
-    def put(a):
-        if _is_spatial(a):
-            return jax.device_put(a, NamedSharding(mesh, _spec_for(a)))
-        return jax.device_put(a, NamedSharding(mesh, P()))
-    return jax.tree_util.tree_map(put, tree)
+    """device_put a block-halo-layout pytree with its natural sharding."""
+    def put(path, a):
+        return jax.device_put(
+            a, NamedSharding(mesh, _spec_of(_leaf_kind(path, a), a)))
+    return jax.tree_util.tree_map_with_path(put, tree)

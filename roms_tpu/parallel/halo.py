@@ -40,6 +40,29 @@ def shift(a: jax.Array, dj: int = 0, di: int = 0) -> jax.Array:
     return jnp.roll(a, shift=(-dj, -di), axis=(-2, -1))
 
 
+def eset(a: jax.Array, idx, val, flag) -> jax.Array:
+    """`a.at[idx].set(val)` gated by an edge-ownership flag.
+
+    flag is None in single-block mode (the block owns every physical edge)
+    → a plain scatter.  Inside shard_map, flag is a traced scalar bool
+    (from `lax.axis_index`) and the update is applied only on shards whose
+    block touches that physical domain edge — the TPU analog of the
+    reference's per-rank edge tests (reference: src/u2dbc_im.F WESTERN_EDGE
+    etc. via istr/iend trimming, src/mpi_setup.F:115-155)."""
+    if flag is None:
+        return a.at[idx].set(val)
+    return a.at[idx].set(jnp.where(flag, val, a[idx]))
+
+
+def band(f1, f2):
+    """AND of two optional ownership flags (None = owned)."""
+    if f1 is None:
+        return f2
+    if f2 is None:
+        return f1
+    return jnp.logical_and(f1, f2)
+
+
 def periodic_fill(a: jax.Array, h: int = 2) -> jax.Array:
     """Refresh ghost cells of a doubly-periodic single-block field.
 
@@ -83,12 +106,21 @@ class HaloExchange:
     exchange (reference: src/mpi_exchanges.F:672-800): edge transfers ride
     the ICI neighbor links, and the corner messages are subsumed by sweeping
     x before y.
+
+    On non-periodic axes the blocks at the physical domain edge KEEP their
+    outer ghost strips (they hold the physical boundary ring maintained by
+    the BC kernels) instead of accepting the wrap-around message — the
+    analog of the reference's exchange skipping physical edges
+    (reference: src/mpi_exchanges.F west_msg_exch guards).
     """
 
-    def __init__(self, axis_x: str = "x", axis_y: str = "y", h: int = 2):
+    def __init__(self, axis_x: str = "x", axis_y: str = "y", h: int = 2,
+                 ew_periodic: bool = True, ns_periodic: bool = True):
         self.ax = axis_x
         self.ay = axis_y
         self.h = h
+        self.ew_periodic = ew_periodic
+        self.ns_periodic = ns_periodic
 
     def _perm(self, axis_name, direction):
         n = lax.axis_size(axis_name)
@@ -101,6 +133,11 @@ class HaloExchange:
         west_strip = a[..., :, h:2 * h]     # my interior west edge
         from_west = lax.ppermute(east_strip, self.ax, self._perm(self.ax, +1))
         from_east = lax.ppermute(west_strip, self.ax, self._perm(self.ax, -1))
+        if not self.ew_periodic:
+            ix = lax.axis_index(self.ax)
+            nx_ = lax.axis_size(self.ax)
+            from_west = jnp.where(ix == 0, a[..., :, :h], from_west)
+            from_east = jnp.where(ix == nx_ - 1, a[..., :, -h:], from_east)
         a = a.at[..., :, :h].set(from_west)
         a = a.at[..., :, -h:].set(from_east)
         # --- Y sweep (includes x ghosts → corners become correct)
@@ -108,6 +145,11 @@ class HaloExchange:
         south_strip = a[..., h:2 * h, :]
         from_south = lax.ppermute(north_strip, self.ay, self._perm(self.ay, +1))
         from_north = lax.ppermute(south_strip, self.ay, self._perm(self.ay, -1))
+        if not self.ns_periodic:
+            jy = lax.axis_index(self.ay)
+            ny_ = lax.axis_size(self.ay)
+            from_south = jnp.where(jy == 0, a[..., :h, :], from_south)
+            from_north = jnp.where(jy == ny_ - 1, a[..., -h:, :], from_north)
         a = a.at[..., :h, :].set(from_south)
         a = a.at[..., -h:, :].set(from_north)
         return a

@@ -40,7 +40,8 @@ def _uv_rhs(u, v, flx_u, flx_v, hz, we, grid, cfg: ModelConfig, scheme):
         ru = ru + rc_u
         rv = rv + rc_v
     if cfg.uv_adv:
-        ra_u, ra_v = adv.horiz_uv_adv_rhs(u, v, flx_u, flx_v, cfg, scheme)
+        ra_u, ra_v = adv.horiz_uv_adv_rhs(u, v, flx_u, flx_v, grid, cfg,
+                                          scheme)
         ru = ru + ra_u
         rv = rv + ra_v
         ru = ru + adv.vert_uv_rhs_spline(u, hz, we, grid.umask, grid, cfg, "u")
@@ -91,6 +92,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                           zr_n, zw_n, hz_n, forcing, grid, cfg, first_step)
         akv, akt, hbls, hbbl = vm.akv, vm.akt, vm.hbls, vm.hbbl
         akv, akt = halo(akv), halo(akt)
+        # (reference: lmd_kpp.F exchanges hbls/hbbl after smoothing)
+        hbls, hbbl = halo(hbls), halo(hbbl)
 
     ru_p, rv_p = prsgrd_mod.prsgrd(eos_n.rho, eos_n.rho1, eos_n.qp1,
                                    zr_n, zw_n, hz_n, grid, cfg,
@@ -110,23 +113,24 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     hz_bak = hz_n + flx_div
     hz_fwd = hz_n - flx_div
 
-    # tracers → n+1/2 (constancy-preserving pseudo-compressible step)
-    t_half_list = []
-    for itrc in range(cfg.nt):
-        fx, fe = adv.horiz_tracer_flux(state.t[itrc], flx_u, flx_v, grid,
-                                       cfg, cfg.ts_pred_scheme)
-        if cfg.river_source:
-            fx, fe = rivers_mod.tracer_flux_fix(fx, fe, itrc, None, hz_n,
-                                                zw_n, forcing, grid)
-        t_rhs = (hz_bak * (cf_stp * state.t[itrc] + cf_bak * state.t_prev[itrc])
-                 - dtau * _tracer_divergence(fx, fe, pmn))
-        fc = adv.vert_tracer_flux_spline(state.t[itrc], hz_n, we)
-        t_rhs = t_rhs - dtau * pmn[None] * (fc[1:] - fc[:-1])
-        iakt = min(itrc, cfg.i_t_and_s - 1)
-        t_half_list.append(vmix.tracer_implicit(
-            t_rhs, hz_fwd, akt[iakt], wi, pmn, dtau, grid.rmask, cfg,
-            apply_mask=False))
-    t_half = jnp.stack(t_half_list, axis=0)
+    # tracers → n+1/2 (constancy-preserving pseudo-compressible step),
+    # batched over the tracer axis (nt, nz, jy, ix): one set of stencil
+    # ops + one vmapped implicit solve regardless of nt (the reference
+    # loops per tracer, step3d_t_ISO.F itrc loop; here XLA sees a flat
+    # batched program so compile time is independent of nt)
+    fx, fe = adv.horiz_tracer_flux(state.t, flx_u, flx_v, grid,
+                                   cfg, cfg.ts_pred_scheme)
+    if cfg.river_source:
+        fx, fe = rivers_mod.tracer_flux_fix_all(fx, fe, hz_n, zw_n,
+                                                forcing, grid)
+    t_rhs = (hz_bak * (cf_stp * state.t + cf_bak * state.t_prev)
+             - dtau * _tracer_divergence(fx, fe, pmn))
+    fc = jax.vmap(adv.vert_tracer_flux_spline, in_axes=(0, None, None))(
+        state.t, hz_n, we)
+    t_rhs = t_rhs - dtau * pmn[None] * (fc[:, 1:] - fc[:, :-1])
+    t_half = vmix.tracer_implicit_all(
+        t_rhs, hz_fwd, vmix.gather_akt(akt, cfg), wi, pmn, dtau,
+        grid.rmask, cfg, apply_mask=False)
 
     # momentum predictor
     ru, rv = _uv_rhs(state.u, state.v, flx_u, flx_v, hz_n, we, grid, cfg,
@@ -192,6 +196,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         akv, akt, hbls, hbbl, ghat = (vm.akv, vm.akt, vm.hbls, vm.hbbl,
                                       vm.ghat)
         akv, akt = halo(akv), halo(akt)
+        hbls, hbbl = halo(hbls), halo(hbbl)
 
     ru_p, rv_p = prsgrd_mod.prsgrd(eos_h.rho, eos_h.rho1, eos_h.qp1,
                                    zr_n, zw_n, hz_n, grid, cfg,
@@ -328,11 +333,6 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                           grid, cfg.dt, cfg, forcing)
     we, wi = halo(om.we), halo(om.wi)
 
-    t_new_list = []
-    upscale_edges = {e: [] for e in ("west", "east", "south", "north")
-                     if getattr(cfg, f"obc_{e}")} if cfg.upscale_output else None
-    budget_terms = ({k: [] for k in ("hadv", "vadv", "forc", "vmix", "rate")}
-                    if cfg.tracer_diagnostics else None)
     iso = None
     if cfg.adv_isoneutral:
         # slope/coefficient fields of the rotated biharmonic
@@ -342,83 +342,90 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         iso = isoneutral.slope_fields(
             eos_h.rho, eos_h.rho1, eos_h.qp1, zr_new, zw_new, hz_new,
             hbls, hbbl, u_new, v_new, grid, cfg)
-    for itrc in range(cfg.nt):
-        fx, fe = adv.horiz_tracer_flux(t_half[itrc], flx_u_c, flx_v_c, grid,
-                                       cfg, cfg.ts_corr_scheme)
-        if cfg.river_source:
-            fx, fe = rivers_mod.tracer_flux_fix(fx, fe, itrc, None, hz_new,
-                                                zw_new, forcing, grid)
-        if upscale_edges is not None:
-            # outward advective flux at open-boundary faces
-            # (reference: upscale_output.F:232-313 calc_forcing_rates)
-            if "west" in upscale_edges:
-                upscale_edges["west"].append(-fx[:, 2:-2, 2])
-            if "east" in upscale_edges:
-                upscale_edges["east"].append(fx[:, 2:-2, -2])
-            if "south" in upscale_edges:
-                upscale_edges["south"].append(-fe[:, 2, 2:-2])
-            if "north" in upscale_edges:
-                upscale_edges["north"].append(fe[:, -2, 2:-2])
-        t_base = hz_n * state.t[itrc]
-        term_hadv = -cfg.dt * _tracer_divergence(fx, fe, pmn)
-        fc = adv.vert_tracer_flux_spline(t_half[itrc], hz_new, we)
-        term_vadv = -cfg.dt * pmn[None] * (fc[1:] - fc[:-1])
-        t_rhs = t_base + term_hadv + term_vadv
-        if cfg.pipe_source:
-            # pipe tracer load (reference: step3d_t_ISO.F:927-934)
-            src3d = kinematics.pipe_profile_3d(forcing, cfg.nz)
-            npip = forcing.pipe_trc.shape[0]
-            trc_p = jnp.take(forcing.pipe_trc[:, itrc],
-                             jnp.clip(forcing.pipe_idx, 0, npip - 1))
-            t_rhs = t_rhs + cfg.dt * pmn[None] * src3d * trc_p[None]
-        if forcing.cdr is not None:
-            # mCDR release injection (reference: step3d_t_ISO.F:859-902)
-            from roms_tpu.cdr import apply_cdr
-            t_rhs = apply_cdr(t_rhs, itrc, forcing.cdr, pmn, cfg.dt)
-        # surface forcing flux (reference: step3d_t_ISO.F:956-959)
-        t_rhs = t_rhs.at[-1].add(cfg.dt * forcing.stflx[itrc])
-        if cfg.lmd_kpp:
-            # penetrating solar + nonlocal KPP transport
-            # (reference: step3d_t_ISO.F:961-1005)
-            nzz = cfg.nz
-            gw = jnp.zeros_like(wi)
-            if itrc == cfg.itemp:
-                gsrc = forcing.srflx[None] * state.swrf[1:nzz]
-                if ghat is not None:
-                    gsrc = gsrc - ghat[1:nzz] * (forcing.stflx[cfg.itemp]
-                                                 - forcing.srflx)[None]
-                gw = gw.at[1:nzz].set(gsrc)
-                t_rhs = t_rhs + cfg.dt * (gw[1:] - gw[:-1])
-            elif cfg.salinity and itrc == cfg.isalt and ghat is not None:
-                gw = gw.at[1:nzz].set(-ghat[1:nzz]
-                                      * forcing.stflx[cfg.isalt][None])
-                t_rhs = t_rhs + cfg.dt * (gw[1:] - gw[:-1])
-        iakt = min(itrc, cfg.i_t_and_s - 1)
-        akt_eff = akt[iakt]
-        if iso is not None:
-            # rotated biharmonic increment + STABILIZE diffusivity
-            # (reference: step3d_t_ISO.F:255-825, implicit part :1050-1064)
-            incr, akz = isoneutral.isoneutral_increment(
-                state.t[itrc], iso, hz_new, zr_new, grid, cfg, halo)
-            t_rhs = t_rhs + incr
-            if akz is not None:
-                akt_eff = akt_eff.at[1:cfg.nz].add(akz)
-        t_new_k = vmix.tracer_implicit(
-            t_rhs, hz_new, akt_eff, wi, pmn, cfg.dt, grid.rmask, cfg,
-            apply_mask=True)
-        t_new_list.append(t_new_k)
-        if cfg.tracer_diagnostics:
-            # term-by-term budget (reference: src/diagnostics.F:
-            # TXadv/TVadv/TForc explicit; TVmix as the implicit residual)
-            term_forc = t_rhs - t_base - term_hadv - term_vadv
-            rate = hz_new * t_new_k - t_base
-            budget_terms["hadv"].append(term_hadv)
-            budget_terms["vadv"].append(term_vadv)
-            budget_terms["forc"].append(term_forc)
-            budget_terms["vmix"].append(rate - term_hadv - term_vadv
-                                        - term_forc)
-            budget_terms["rate"].append(rate)
-    t_new = jnp.stack(t_new_list, axis=0)
+
+    # batched tracer corrector (nt, nz, jy, ix); the reference loops per
+    # tracer (step3d_t_ISO.F itrc loop) — here the whole tracer set moves
+    # through one batched set of stencil ops + one vmapped implicit solve
+    fx, fe = adv.horiz_tracer_flux(t_half, flx_u_c, flx_v_c, grid,
+                                   cfg, cfg.ts_corr_scheme)
+    if cfg.river_source:
+        fx, fe = rivers_mod.tracer_flux_fix_all(fx, fe, hz_new, zw_new,
+                                                forcing, grid)
+    upscale = None
+    if cfg.upscale_output:
+        # outward advective flux at open-boundary faces
+        # (reference: upscale_output.F:232-313 calc_forcing_rates)
+        upscale = {}
+        if cfg.obc_west:
+            upscale["west"] = -fx[:, :, 2:-2, 2]
+        if cfg.obc_east:
+            upscale["east"] = fx[:, :, 2:-2, -2]
+        if cfg.obc_south:
+            upscale["south"] = -fe[:, :, 2, 2:-2]
+        if cfg.obc_north:
+            upscale["north"] = fe[:, :, -2, 2:-2]
+    t_base = hz_n * state.t
+    term_hadv = -cfg.dt * _tracer_divergence(fx, fe, pmn)
+    fc = jax.vmap(adv.vert_tracer_flux_spline, in_axes=(0, None, None))(
+        t_half, hz_new, we)
+    term_vadv = -cfg.dt * pmn[None] * (fc[:, 1:] - fc[:, :-1])
+    t_rhs = t_base + term_hadv + term_vadv
+    if cfg.pipe_source:
+        # pipe tracer load (reference: step3d_t_ISO.F:927-934)
+        src3d = kinematics.pipe_profile_3d(forcing, cfg.nz)
+        npip = forcing.pipe_trc.shape[0]
+        trc_p = jnp.moveaxis(
+            forcing.pipe_trc[jnp.clip(forcing.pipe_idx, 0, npip - 1)],
+            -1, 0)                       # (nt, jy, ix)
+        t_rhs = t_rhs + cfg.dt * pmn[None] * src3d[None] * trc_p[:, None]
+    if forcing.cdr is not None:
+        # mCDR release injection (reference: step3d_t_ISO.F:859-902)
+        from roms_tpu.cdr import apply_cdr_all
+        t_rhs = apply_cdr_all(t_rhs, forcing.cdr, pmn, cfg.dt,
+                              j0=grid.j0, i0=grid.i0)
+    # surface forcing flux (reference: step3d_t_ISO.F:956-959)
+    t_rhs = t_rhs.at[:, -1].add(cfg.dt * forcing.stflx)
+    if cfg.lmd_kpp:
+        # penetrating solar + nonlocal KPP transport for T (and ghat for S)
+        # (reference: step3d_t_ISO.F:961-1005)
+        nzz = cfg.nz
+        gw = jnp.zeros_like(wi)
+        gsrc = forcing.srflx[None] * state.swrf[1:nzz]
+        if ghat is not None:
+            gsrc = gsrc - ghat[1:nzz] * (forcing.stflx[cfg.itemp]
+                                         - forcing.srflx)[None]
+        gw = gw.at[1:nzz].set(gsrc)
+        t_rhs = t_rhs.at[cfg.itemp].add(cfg.dt * (gw[1:] - gw[:-1]))
+        if cfg.salinity and ghat is not None:
+            gws = jnp.zeros_like(wi)
+            gws = gws.at[1:nzz].set(-ghat[1:nzz]
+                                    * forcing.stflx[cfg.isalt][None])
+            t_rhs = t_rhs.at[cfg.isalt].add(cfg.dt * (gws[1:] - gws[:-1]))
+    akt_b = vmix.gather_akt(akt, cfg)
+    if iso is not None:
+        # rotated biharmonic increment + STABILIZE diffusivity
+        # (reference: step3d_t_ISO.F:255-825, implicit part :1050-1064);
+        # Akz depends only on the slope fields, so it is tracer-independent
+        incr, akz = jax.vmap(
+            lambda tk: isoneutral.isoneutral_increment(
+                tk, iso, hz_new, zr_new, grid, cfg, halo),
+            out_axes=(0, None))(state.t)
+        t_rhs = t_rhs + incr
+        if akz is not None:
+            akt_b = akt_b.at[:, 1:cfg.nz].add(akz)
+    t_new = vmix.tracer_implicit_all(
+        t_rhs, hz_new, akt_b, wi, pmn, cfg.dt, grid.rmask, cfg,
+        apply_mask=True)
+    t_budget = None
+    if cfg.tracer_diagnostics:
+        # term-by-term budget (reference: src/diagnostics.F:
+        # TXadv/TVadv/TForc explicit; TVmix as the implicit residual)
+        term_forc = t_rhs - t_base - term_hadv - term_vadv
+        rate = hz_new * t_new - t_base
+        t_budget = {"hadv": term_hadv, "vadv": term_vadv,
+                    "forc": term_forc,
+                    "vmix": rate - term_hadv - term_vadv - term_forc,
+                    "rate": rate}
 
     # t3dmix lateral diffusion (reference: src/t3dmix_S.F, TS_DIF2)
     if cfg.ts_dif2 and (cfg.tnu2 != 0.0 or grid.diff2 is not None):
@@ -453,13 +460,6 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
 
     # final density for diagnostics/output (reference: main.F:479)
     eos_new = eos.rho_eos(t_new, zr_new, zw_new, hz_new, grid.rmask, cfg)
-
-    upscale = None
-    if cfg.upscale_output and upscale_edges is not None:
-        upscale = {e: jnp.stack(v, axis=0) for e, v in upscale_edges.items()}
-    t_budget = None
-    if cfg.tracer_diagnostics:
-        t_budget = {k: jnp.stack(v, axis=0) for k, v in budget_terms.items()}
 
     return state.replace(
         upscale=upscale, t_budget=t_budget,

@@ -10,6 +10,15 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Some environments pre-import jax with an accelerator platform from
+# sitecustomize; as long as no backend is initialized yet these config
+# updates still force the CPU + 8-virtual-device setup the tests need.
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the big stepper program compiles once per machine
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_roms_tpu")
