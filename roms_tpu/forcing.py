@@ -184,6 +184,33 @@ def coarse2fine(cdata: np.ndarray, ratio: int = 2,
             + wy * ((1 - wx) * c10 + wx * c11))
 
 
+class StackSeries:
+    """Stack several Series along a new leading axis (tracer boundary data:
+    per-tracer `<name>_<edge>` file variables -> one (nt, nz, edge) array,
+    reference: boundary.F nc_t_w(itrc) per-tracer readers)."""
+
+    def __init__(self, series, name="stack"):
+        self.series = list(series)
+        self.name = name
+
+    def value(self, t: float) -> np.ndarray:
+        return np.stack([s.value(t) for s in self.series], axis=0)
+
+
+class DerivedSeries:
+    """Pointwise function of other series, evaluated at the same time
+    (e.g. pipe_flx = pipe_fraction * pipe_vol[pipe_idx],
+    reference: pipe_frc.F:177-182)."""
+
+    def __init__(self, fn: Callable, *parents, name="derived"):
+        self.fn = fn
+        self.parents = parents
+        self.name = name
+
+    def value(self, t: float) -> np.ndarray:
+        return self.fn(*[p.value(t) for p in self.parents])
+
+
 class ForcingSet:
     """Bundle of forcing series -> per-step `Forcing` pytree
     (reference: src/set_forces.F:90-154 dispatch).
@@ -193,14 +220,20 @@ class ForcingSet:
         stflx_<i> (tracer-i surface flux), srflx (solar), swflx (freshwater)
     boundary: dict  '<var>_<edge>' -> Series  (var in zeta,ubar,vbar,u,v,t;
         edge in west,east,south,north)
+    point: dict Forcing-field name -> Series whose value is placed verbatim
+        into that field (riv_vol, riv_trc, pipe_flx, pipe_trc, ...;
+        reference: river_frc.F:82-83, pipe_frc.F:71-73 set_frc_data on
+        point-source tables)
     Fields are padded/edge-replicated into compute layout on materialize.
     """
 
     def __init__(self, cfg: ModelConfig, surface: Optional[Dict] = None,
-                 boundary: Optional[Dict] = None, dtype=None):
+                 boundary: Optional[Dict] = None, point: Optional[Dict] = None,
+                 dtype=None):
         self.cfg = cfg
         self.surface = surface or {}
         self.boundary = boundary or {}
+        self.point = point or {}
         self.dtype = dtype
 
     def at(self, t: float, base: Optional[Forcing] = None) -> Forcing:
@@ -221,6 +254,9 @@ class ForcingSet:
                 kw[name] = jnp.asarray(val, dtype)
         if any(n.startswith("stflx_") for n in self.surface):
             kw["stflx"] = jnp.asarray(stflx, dtype)
+
+        for name, s in self.point.items():
+            kw[name] = jnp.asarray(s.value(t), dtype)
 
         if self.boundary:
             bkw = {}
