@@ -14,6 +14,16 @@ from roms_tpu.ops.weights import set_weights
 from roms_tpu.stepper import step
 
 
+def _call_forcing_fn(fn, t, forcing, state):
+    """set_forces hook: prefer the 3-arg form f(t, base, state) (bulk
+    forcing needs SST, reference: bulk_frc.F uses t(:,:,N,nrhs,itemp));
+    fall back to the legacy 2-arg form."""
+    try:
+        return fn(t, forcing, state)
+    except TypeError:
+        return fn(t, forcing)
+
+
 def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
         collect_diag: bool = True, print_diag: bool = False,
         blowup_check: bool = True, forcing_fn=None, step_hook=None):
@@ -54,8 +64,8 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
 
     log(state, 0)
     for i in range(nsteps):
-        frc = forcing if forcing_fn is None else forcing_fn(
-            float(state.time), forcing)
+        frc = forcing if forcing_fn is None else _call_forcing_fn(
+            forcing_fn, float(state.time), forcing, state)
         state = step(state, frc, grid, w1, w2, cfg, first_step=(i == 0))
         log(state, i + 1)
         if step_hook is not None:

@@ -38,7 +38,7 @@ class Series:
             raise ValueError(f"{name}: bad time axis")
         self.read_rec = read_rec
         self.cycle = cycle
-        self.interp = interp and self.times.size > 1
+        self.interp = interp
         self.name = name
         self._slot_idx = [-1, -1]
         self._slot_data = [None, None]
@@ -71,9 +71,13 @@ class Series:
         return i1, i2, t, times[i1], times[i2]
 
     def value(self, t: float) -> np.ndarray:
-        if not self.interp:
+        if self.times.size == 1:
             return self._rec(0)
         i1, i2, tm, t1, t2 = self._bracket(t)
+        if not self.interp:
+            # hold the current record until the next one is reached
+            # (reference: cdr_frc.opt time_interpolation=False semantics)
+            return self._rec(i1)
         d1, d2 = self._rec(i1), self._rec(i2)
         if t2 <= t1:
             return d1

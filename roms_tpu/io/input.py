@@ -60,11 +60,13 @@ def read_grid(path: str, cfg: ModelConfig, dtype=jnp.float64) -> Grid:
 
 
 def read_init(path: str, cfg: ModelConfig, grid: Grid, record: int = -1,
-              dtype=jnp.float64) -> OceanState:
-    """Load initial conditions (zeta, ubar, vbar, u, v, temp[, salt]) from a
-    ROMS initial/history file at `record` (reference: src/get_init.F), then
-    rebuild the vertical grid and derived fields."""
-    from roms_tpu.ops import kinematics
+              dtype=jnp.float64, tracer_names=None) -> OceanState:
+    """Load initial conditions (zeta, ubar, vbar, u, v, temp[, salt], and
+    any further tracers by their file variable names) from a ROMS
+    initial/history file at `record` (reference: src/get_init.F; tracer
+    variable naming: src/tracers.opt t_vname), then rebuild the vertical
+    grid and derived fields."""
+    from roms_tpu.ops import kinematics, kpp
     from roms_tpu.ops.eos import rho_eos
     from roms_tpu.parallel.halo import make_halo_fill, shift
 
@@ -84,12 +86,14 @@ def read_init(path: str, cfg: ModelConfig, grid: Grid, record: int = -1,
         vbar = get("vbar")
         u = get("u")
         v = get("v")
-        tracers = [get("temp")]
-        if cfg.salinity:
-            tracers.append(get("salt"))
-        for i in range(len(tracers), cfg.nt):
-            extra = get(f"passive_{i:02d}", required=False)
-            tracers.append(extra if extra is not None
+        if tracer_names is None:
+            tracer_names = ["temp"] + (["salt"] if cfg.salinity else [])
+            tracer_names += [f"passive_{i:02d}"
+                             for i in range(len(tracer_names), cfg.nt)]
+        tracers = []
+        for i, nm in enumerate(tracer_names):
+            a = get(nm, required=(i < cfg.i_t_and_s))
+            tracers.append(a if a is not None
                            else np.zeros_like(tracers[0]))
         tm = get("ocean_time", required=False)
 
@@ -112,9 +116,14 @@ def read_init(path: str, cfg: ModelConfig, grid: Grid, record: int = -1,
     dv_avg1 = 0.5 * (grid.h + shift(grid.h, -1, 0)
                      + zeta_j + shift(zeta_j, -1, 0)) * grid.dm_v * vbar_j
 
+    # solar penetration profile from the rest-state thickness, once
+    # (reference: main.F:216-220 swr_frac at init)
+    z_w0, _, hz0 = vcoord.set_depth(zeta_j * 0.0, grid.h, grid.hinv,
+                                    grid.cs_w, grid.cs_r, cfg.hc, cfg.nz)
     st = st.replace(zeta=zeta_j, ubar=ubar_j, vbar=vbar_j,
                     u=u_j, v=v_j, u_prev=u_j, v_prev=v_j,
                     t=t_j, t_prev=t_j, z_w=z_w, z_r=z_r, hz=hz,
+                    swrf=kpp.swr_frac(hz0, cfg),
                     du_avg1=halo_fill(du_avg1), dv_avg1=halo_fill(dv_avg1))
 
     flx_u, flx_v = kinematics.set_huv(st.u, st.v, hz, grid)

@@ -116,6 +116,9 @@ class Forcing:
     ptide: Optional[jax.Array] = None
     # mCDR release forcing (reference: src/cdr_frc.F); CdrForcing pytree
     cdr: Optional["object"] = None
+    # BGC atmospheric forcing fields (reference: src/bgc_forces.F via
+    # bgc.opt: dust/iron/pco2_air[...]): dict name -> (jy, ix) array
+    bgc: Optional[dict] = None
 
 
 @struct.dataclass
