@@ -39,10 +39,12 @@ class BGCContext(NamedTuple):
 class BGCModel(NamedTuple):
     """A BGC engine: names + pure functions.
 
-    interior_tendency(bgc_tracers, ctx, saved) ->
+    interior_tendency(bgc_tracers, ctx, saved, forc=None) ->
         (dtracer/dt (nbgc, nz, jy, ix), new_saved)
-    surface_flux(bgc_tracers, ctx, forcing_fields) ->
+    surface_flux(bgc_tracers, ctx, forc=None) ->
         (nbgc, jy, ix) kinematic surface fluxes [conc * m/s]
+    forc: optional dict of atmospheric BGC forcing fields (dust, iron,
+    pco2_air, ... — reference: src/bgc_forces.F) on the padded grid.
     """
     name: str
     tracer_names: Sequence[str]
@@ -69,7 +71,7 @@ def register(name: str):
 def get_model(name: str) -> BGCModel:
     if name not in BGC_MODELS:
         # import built-ins lazily so registration happens on demand
-        from roms_tpu.bgc import npzd  # noqa: F401
+        from roms_tpu.bgc import bec, npzd  # noqa: F401
     if name not in BGC_MODELS:
         raise KeyError(f"unknown BGC model {name!r}; "
                        f"registered: {sorted(BGC_MODELS)}")

@@ -1,0 +1,530 @@
+"""Reduced-BEC ecosystem at reference tracer counts.
+
+Two registered variants built from one parameterized kernel:
+
+  * ``bec2``   — the 29-tracer BEC2 + Ncycle_SY tracer set of the
+    reference's built-in ecosystem (reference: src/bec2_driver.F
+    ecosys_bec2_tile, tracer table tests/CDR_parameterized/tracers.opt,
+    indices src/bgc_tracers_indx.opt, counts src/param.opt:26-30);
+  * ``marbl32`` — the 32-tracer MARBL-standard set the reference couples
+    through libmarbl (reference: src/marbl_driver.F:1210-1329, nt
+    src/param.opt:31-32, ALK/DIC indices marbl_driver.F:1940-1964).
+
+The science is a reduced (but conservative and fully coupled) BEC-style
+model: three phytoplankton functional groups (small phyto with CaCO3,
+diatoms with Si, diazotrophs that fix N) each carrying C/Chl/Fe(/Si/P)
+pools, one zooplankton, semi-labile + refractory DOM pools, O2, full
+carbonate system (DIC/ALK with closed-form equilibrium chemistry and
+air-sea CO2/O2 exchange driven by pco2_air forcing), iron with dust/iron
+deposition and scavenging, and the Ncycle NH4->NO2->NO3 nitrification +
+suboxic denitrification chain producing N2O/N2 (reference: Ncycle_SY in
+cppdefs, bec2_driver.F).  Particulate export is treated implicitly: the
+non-grazed mortality/aggregation losses remineralize down-column through
+an exponential profile (the structural reduction of the reference's
+P_* implicit particulate arrays, src/bec2_vars.F:100-140) — column
+integrals of N/P/Si/Fe/C are exactly conserved by the interior terms.
+
+Everything is a pure full-field function (nbgc, nz, jy, ix) -> tendencies;
+XLA fuses it into the tracer corrector — the TPU-first replacement for the
+reference's per-column loops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from roms_tpu.bgc.api import BGCContext, BGCModel, register
+
+# ---- tracer sets ----------------------------------------------------------
+
+BEC2_TRACERS = (
+    "PO4", "NO3", "SiO3", "NH4", "Fe", "O2", "DIC", "Alk",
+    "DOC", "DON", "DOFE", "DOP", "DOPR", "DONR",
+    "ZOOC", "SPC", "SPCHL", "SPFE", "SPCACO3",
+    "DIATC", "DIATCHL", "DIATFE", "DIATSI",
+    "DIAZC", "DIAZCHL", "DIAZFE",
+    "NO2", "N2", "N2O")
+
+MARBL_TRACERS = (
+    "PO4", "NO3", "SiO3", "NH4", "Fe", "Lig", "O2",
+    "DIC", "DIC_ALT_CO2", "ALK", "ALK_ALT_CO2",
+    "DOC", "DON", "DOP", "DOPr", "DONr", "DOCr",
+    "zooC", "spChl", "spC", "spP", "spFe", "spCaCO3",
+    "diatChl", "diatC", "diatP", "diatFe", "diatSi",
+    "diazChl", "diazC", "diazP", "diazFe")
+
+# ---- stoichiometry & rates (BEC lineage values, reference:
+# src/bec2_params.F) --------------------------------------------------------
+Q_CN = 16.0 / 117.0        # mol N / mol C (Redfield, BEC C117)
+Q_CP = 1.0 / 117.0         # mol P / mol C
+Q_FE = 3.0e-6              # mol Fe / mol C
+Q_SI = 0.137               # mol Si / mol C (diatoms)
+O2_PER_C = 1.45            # mol O2 per mol C fixed
+DAY = 86400.0
+
+PAR_FRAC = 0.45
+KPAR = 0.04                # extra chl shading handled via swr_frac only
+RHO0_CP = 1027.5 * 3985.0
+
+# per-group parameters: (mu_max [1/d], alpha_chl, kNO3, kNH4, kPO4, kFe,
+# kSiO3, theta_max [mg Chl/mmol C], loss [1/d], agg [1/(mmol C/m3 d)])
+GROUPS = {
+    "sp":   (3.0, 0.35, 0.25, 0.01, 0.01, 0.03e-3, 0.0, 2.5, 0.12, 0.01),
+    "diat": (3.3, 0.28, 0.50, 0.05, 0.05, 0.06e-3, 1.0, 3.0, 0.12, 0.02),
+    "diaz": (1.2, 0.39, 1.00, 0.15, 0.02, 0.04e-3, 0.0, 2.5, 0.15, 0.01),
+}
+GRAZE_MAX = {"sp": 3.3, "diat": 3.15, "diaz": 1.2}    # [1/d]
+K_GRAZE = 1.05              # [mmol C/m3]
+Z_EFF = 0.3                 # zoo growth efficiency
+Z_LOSS = 0.1                # zoo linear loss [1/d]
+Z_LOSS2 = 0.4               # zoo quadratic loss [1/(mmol C/m3 d)]
+DOM_FRAC = 0.34             # routed to semi-labile DOM
+DOC_REMIN = 1.0 / 100.0     # [1/d] semi-labile DOM remin
+DOR_REMIN = 1.0 / 10000.0   # [1/d] refractory
+DOR_FRAC = 0.02             # fraction of remin routed to refractory pools
+POC_LENGTH = 120.0          # [m] implicit particulate remin e-scale
+CACO3_FRAC = 0.07           # CaCO3 production / sp photosynthesis
+CACO3_LENGTH = 600.0        # [m] CaCO3 dissolution length
+CACO3_DISS = 1.0 / 30.0     # [1/d] of the SPCACO3 pool
+FE_SCAV = 1.0 / 180.0       # [1/d] free-iron scavenging
+DUST_TO_FE = 0.035 * 1.0e6 / 55.85  # kg dust/m2/s -> mmol Fe/m2/s (3.5% Fe)
+NITRIF1 = 1.0 / 15.0        # NH4 -> NO2 [1/d]
+NITRIF2 = 1.0 / 7.0         # NO2 -> NO3 [1/d]
+PAR_NITRIF_INHIB = 1.0      # W/m2 threshold (photoinhibition)
+O2_SUBOXIC = 4.0            # [mmol/m3]
+DENITR = 1.0 / 20.0         # suboxic NO3->NO2->N2O->N2 chain [1/d]
+N2O_YIELD = 0.06
+LIG_PROD = 5.0e-5           # ligand production per remin C
+LIG_LOSS = 1.0 / 1000.0     # [1/d]
+Q10 = 1.7
+EPS = 1.0e-30
+
+
+def _tfunc(temp):
+    return Q10 ** ((temp - 30.0) / 10.0)
+
+
+def _par(ctx: BGCContext, forc: Optional[dict]):
+    """PAR [W/m2] at rho levels from the model's penetrative solar profile;
+    the DAILYPAR variants use the low-frequency swrad climatology when
+    present (reference: bgc.opt nc_swrad_avg / DAILYPAR_*)."""
+    if forc is not None and "swrad_LFreq" in forc:
+        sw = forc["swrad_LFreq"][None]          # already W/m2
+    else:
+        sw = ctx.srflx[None] * RHO0_CP
+    frac_r = 0.5 * (ctx.swr_frac[1:] + ctx.swr_frac[:-1])
+    return PAR_FRAC * jnp.maximum(sw, 0.0) * frac_r
+
+
+# ---- carbonate system ------------------------------------------------------
+
+def _co2_equilibrium(dic, alk, temp, salt):
+    """Closed-form seawater CO2 system: given DIC and carbonate alkalinity,
+    solve the K1/K2 equilibrium for [H+], pCO2 (the reduction of the
+    reference's iterative solvers, bec2 co2calc / MARBL; constants:
+    Weiss 1974 K0, Lueker et al. 2000 K1/K2).
+
+    dic/alk in mmol/m3; temp degC; salt PSU.  Returns (pco2 [ppm=uatm],
+    ph, co2star [mmol/m3])."""
+    tk = temp + 273.15
+    tk100 = tk / 100.0
+    s = jnp.clip(salt, 1.0, 45.0)
+    lnk0 = (-60.2409 + 93.4517 / tk100 + 23.3585 * jnp.log(tk100)
+            + s * (0.023517 - 0.023656 * tk100 + 0.0047036 * tk100 ** 2))
+    k0 = jnp.exp(lnk0)                       # mol/kg/atm
+    pk1 = (3633.86 / tk - 61.2172 + 9.6777 * jnp.log(tk)
+           - 0.011555 * s + 0.0001152 * s * s)
+    pk2 = (471.78 / tk + 25.929 - 3.16967 * jnp.log(tk)
+           - 0.01781 * s + 0.0001122 * s * s)
+    k1 = 10.0 ** (-pk1)
+    k2 = 10.0 ** (-pk2)
+
+    # mmol/m3 -> mol/kg (rho ~ 1025)
+    c = dic * 1.0e-3 / 1025.0
+    # carbonate alkalinity ~ 96% of total alkalinity (borate correction)
+    a = jnp.maximum(alk * 1.0e-3 / 1025.0 * 0.96, 1.0e-6)
+    c = jnp.maximum(c, 1.0e-6)
+
+    # CA = [HCO3] + 2[CO3]; DIC = [CO2*] + [HCO3] + [CO3]
+    # with x = [H+]: standard quadratic (Follows et al. 2006)
+    g = c / a
+    disc = ((1.0 - g) * (1.0 - g) * k1 * k1
+            - 4.0 * k1 * k2 * (1.0 - 2.0 * g))
+    h = 0.5 * ((g - 1.0) * k1 + jnp.sqrt(jnp.maximum(disc, 0.0)))
+    h = jnp.maximum(h, 1.0e-12)
+    co2star = c * h * h / (h * h + k1 * h + k1 * k2)  # mol/kg
+    pco2 = co2star / k0 * 1.0e6                        # uatm
+    ph = -jnp.log10(h)
+    return pco2, ph, co2star * 1025.0 * 1.0e3          # mmol/m3
+
+
+def o2_saturation(temp, salt):
+    ts = jnp.log(jnp.clip((298.15 - temp) / (273.15 + temp), 1e-6, None))
+    a = (2.00907 + 3.22014 * ts + 4.05010 * ts ** 2 + 4.94457 * ts ** 3
+         - 0.256847 * ts ** 4 + 3.88767 * ts ** 5)
+    b = salt * (-6.24523e-3 - 7.37614e-3 * ts - 1.03410e-2 * ts ** 2
+                - 8.17083e-3 * ts ** 3) - 4.88682e-7 * salt * salt
+    return jnp.exp(a + b) * 44.6596  # ml/L fit -> umol/L = mmol/m3
+
+
+PISTON = 3.0e-5  # [m/s] fixed gas-transfer velocity (~2.6 m/day; the
+#                  reference computes kw from u10^2 — deviation documented)
+
+
+# ---- the kernel ------------------------------------------------------------
+
+def _sinking_remin(loss_c, hz, length):
+    """Implicitly remineralize a column production-of-particles field:
+    particles created at level k dissolve below with an exponential
+    profile; whatever reaches the sea floor remineralizes in the bottom
+    cell.  Exactly conservative: column integral of the returned remin
+    equals the column integral of loss_c.  (z axis: k=0 bottom.)"""
+    # flux through the BOTTOM interface of cell k (downward positive):
+    # F_k = sum_{m>=k} P_m * attenuation from m down to k
+    # computed with a downward scan: F_below = (F_above + P_k*hz_k)*exp(-hz_k/L)
+    def step(f_above, xs):
+        p, dz = xs
+        f_below = (f_above + p * dz) * jnp.exp(-dz / length)
+        remin = (f_above + p * dz) - f_below       # absorbed in this cell
+        return f_below, remin
+
+    prod_rev = loss_c[::-1]        # top -> bottom
+    hz_rev = hz[::-1]
+    f_bot, remin_rev = jax.lax.scan(step, jnp.zeros_like(loss_c[0]),
+                                    (prod_rev, hz_rev))
+    remin = remin_rev[::-1]
+    # sea-floor flux remineralizes in the bottom cell
+    remin = remin.at[0].add(f_bot)
+    return remin / jnp.maximum(hz, 1e-12)          # back to conc/s
+
+
+def make_interior(names: Tuple[str, ...]):
+    idx = {n.upper(): i for i, n in enumerate(names)}
+    has = lambda n: n.upper() in idx
+    I = lambda n: idx[n.upper()]
+    ncycle = has("NO2")
+    marbl = has("LIG")
+
+    def interior(trc, ctx: BGCContext, saved, forc=None):
+        T = jnp.maximum
+        get = lambda n: T(trc[I(n)], 0.0)
+        po4, no3, sio3, nh4, fe = (get("PO4"), get("NO3"), get("SiO3"),
+                                   get("NH4"), get("Fe"))
+        o2, dic, alk = get("O2"), get("DIC"), get("ALK")
+        doc, don, dop = get("DOC"), get("DON"), get("DOP")
+        zoo = get("ZOOC")
+        tf = _tfunc(ctx.temp)
+        par = _par(ctx, forc)
+
+        d = jnp.zeros_like(trc)
+
+        def add(n, v):
+            nonlocal d
+            d = d.at[I(n)].add(v)
+
+        photo_tot = jnp.zeros_like(po4)     # total C fixation [mmolC/m3/s]
+        no3_up = jnp.zeros_like(po4)
+        nh4_up = jnp.zeros_like(po4)
+        nfix = jnp.zeros_like(po4)
+        graze_tot = jnp.zeros_like(po4)
+        loss_poc = jnp.zeros_like(po4)      # -> implicit particulates
+        loss_pon = jnp.zeros_like(po4)
+        loss_pop = jnp.zeros_like(po4)
+        loss_pofe = jnp.zeros_like(po4)
+        loss_posi = jnp.zeros_like(po4)
+        dom_c = jnp.zeros_like(po4)
+
+        for g in ("sp", "diat", "diaz"):
+            cn = {"sp": "SPC", "diat": "DIATC", "diaz": "DIAZC"}[g]
+            chn = {"sp": "SPCHL", "diat": "DIATCHL", "diaz": "DIAZCHL"}[g]
+            fen = {"sp": "SPFE", "diat": "DIATFE", "diaz": "DIAZFE"}[g]
+            (mu0, alpha, kno3, knh4, kpo4, kfe, ksi, th_max, mort,
+             agg) = GROUPS[g]
+            c = get(cn)
+            chl = get(chn)
+            cfe = get(fen)
+
+            # nutrient limitation (Liebig minimum, BEC style)
+            vno3 = (no3 / kno3) / (1.0 + no3 / kno3 + nh4 / knh4)
+            vnh4 = (nh4 / knh4) / (1.0 + no3 / kno3 + nh4 / knh4)
+            vn = vno3 + vnh4
+            if g == "diaz":
+                vn_eff = jnp.ones_like(vn)   # N2 fixation covers N
+            else:
+                vn_eff = vn
+            vp = po4 / (kpo4 + po4)
+            vfe = fe / (kfe + fe)
+            lims = [vn_eff, vp, vfe]
+            if g == "diat":
+                lims.append(sio3 / (ksi + sio3))
+            vtot = lims[0]
+            for L in lims[1:]:
+                vtot = jnp.minimum(vtot, L)
+
+            theta = chl / T(c, EPS)          # mg Chl / mmol C
+            mu_max = mu0 / DAY * tf
+            pcmax = mu_max * vtot
+            light = 1.0 - jnp.exp(-alpha / DAY * theta * par
+                                  / T(pcmax, 1e-12))
+            mu = pcmax * light               # [1/s]
+            photo = mu * c
+            photo_tot = photo_tot + photo
+
+            # chlorophyll synthesis toward a light-regulated theta
+            theta_t = th_max / (1.0 + alpha * theta * par
+                                / T(2.0 * pcmax * DAY, 1e-12))
+            chl_syn = mu * c * theta_t
+            add(chn, chl_syn - mort / DAY * tf * chl)
+
+            # N source split
+            if g == "diaz":
+                nfix = nfix + photo * Q_CN
+            else:
+                wno3 = vno3 / T(vn, 1e-12)
+                no3_up = no3_up + photo * Q_CN * wno3
+                nh4_up = nh4_up + photo * Q_CN * (1.0 - wno3)
+
+            # grazing (Holling III on each group)
+            gr = (GRAZE_MAX[g] / DAY * tf * zoo
+                  * c * c / (K_GRAZE * K_GRAZE + c * c))
+            # mortality + aggregation
+            mo = mort / DAY * tf * c + agg / DAY * c * c
+            add(cn, photo - gr - mo)
+            graze_tot = graze_tot + gr
+            # chl and Fe pools follow their carbon ratio losses
+            add(chn, -(gr + mo) * theta)
+            qfe = cfe / T(c, EPS)
+            fe_up = photo * Q_FE
+            add(fen, fe_up - (gr + mo) * qfe)
+            add("FE", -fe_up)
+            loss_pofe = loss_pofe + ((1.0 - DOM_FRAC) * (1.0 - Z_EFF) * gr
+                                     + (1.0 - DOM_FRAC) * mo) * qfe
+
+            # route losses: DOM + implicit particulates
+            # non-assimilated grazing (1-Z_EFF) and mortality split
+            # DOM_FRAC : (1-DOM_FRAC) between DOM and sinking particles
+            dom_c = dom_c + DOM_FRAC * (mo + (1.0 - Z_EFF) * gr)
+            loss_poc = loss_poc + (1.0 - DOM_FRAC) * mo \
+                + (1.0 - DOM_FRAC) * (1.0 - Z_EFF) * gr
+
+            if g == "diat":
+                qsi = get("DIATSI") / T(c, EPS)
+                si_up = photo * Q_SI
+                add("DIATSI", si_up - (gr + mo) * qsi)
+                add("SIO3", -si_up)
+                loss_posi = loss_posi + (gr + mo) * qsi
+            if g == "sp" and has("SPCACO3"):
+                caco3_prod = CACO3_FRAC * photo
+                qca = get("SPCACO3") / T(c, EPS)
+                diss = CACO3_DISS / DAY * get("SPCACO3")
+                add("SPCACO3", caco3_prod - (gr + mo) * qca - diss)
+                add("DIC", -caco3_prod + diss)
+                add("ALK", -2.0 * caco3_prod + 2.0 * diss)
+                # grazed/dead CaCO3 dissolves down-column
+                ca_loss = (gr + mo) * qca
+                ca_remin = _sinking_remin(ca_loss, ctx.hz, CACO3_LENGTH)
+                add("DIC", ca_remin)
+                add("ALK", 2.0 * ca_remin)
+
+        # zooplankton
+        z_mort = Z_LOSS / DAY * tf * zoo + Z_LOSS2 / DAY * zoo * zoo
+        add("ZOOC", Z_EFF * graze_tot - z_mort)
+        dom_c = dom_c + DOM_FRAC * z_mort
+        loss_poc = loss_poc + (1.0 - DOM_FRAC) * z_mort
+        loss_pon = loss_pon + loss_poc * Q_CN
+        loss_pop = loss_pop + loss_poc * Q_CP
+
+        # DOM production & remineralization
+        remin_doc = DOC_REMIN / DAY * tf * doc
+        remin_don = DOC_REMIN / DAY * tf * don
+        remin_dop = DOC_REMIN / DAY * tf * dop
+        add("DOC", dom_c - remin_doc)
+        add("DON", dom_c * Q_CN - remin_don)
+        add("DOP", dom_c * Q_CP - remin_dop)
+        if has("DOFE"):
+            dofe = get("DOFE")
+            remin_dofe = DOC_REMIN / DAY * tf * dofe
+            add("DOFE", dom_c * Q_FE - remin_dofe)
+            add("FE", remin_dofe)
+        # refractory pools
+        for lab, ref_n, q in (("DOC", "DOCR", 1.0), ("DON", "DONR", Q_CN),
+                              ("DOP", "DOPR", Q_CP)):
+            if has(ref_n):
+                ref = get(ref_n)
+                remin_ref = DOR_REMIN / DAY * tf * ref
+                add(ref_n, DOR_FRAC * dom_c * q - remin_ref)
+                add(lab, -DOR_FRAC * dom_c * q)
+                if ref_n == "DOCR":
+                    add("DIC", remin_ref)
+                    add("O2", -remin_ref * O2_PER_C)
+                elif ref_n == "DONR":
+                    add("NH4", remin_ref)
+                else:
+                    add("PO4", remin_ref)
+
+        # implicit particulate remineralization (conservative down-column)
+        remin_poc = _sinking_remin(loss_poc, ctx.hz, POC_LENGTH)
+        remin_pon = _sinking_remin(loss_pon, ctx.hz, POC_LENGTH)
+        remin_pop = _sinking_remin(loss_pop, ctx.hz, POC_LENGTH)
+        remin_pofe = _sinking_remin(loss_pofe, ctx.hz, POC_LENGTH)
+        remin_posi = _sinking_remin(loss_posi, ctx.hz, POC_LENGTH)
+
+        add("SIO3", remin_posi)
+        add("FE", remin_pofe - FE_SCAV / DAY * fe)
+        if marbl:
+            lig = get("LIG")
+            add("LIG", LIG_PROD * (remin_poc + remin_doc)
+                - LIG_LOSS / DAY * lig)
+
+        # carbon / oxygen bookkeeping
+        total_remin_c = remin_poc + remin_doc
+        add("DIC", total_remin_c - photo_tot)
+        add("O2", O2_PER_C * (photo_tot - total_remin_c))
+
+        # nitrogen cycle
+        add("NO3", -no3_up)
+        add("NH4", -nh4_up + remin_pon + remin_don)
+        # alkalinity from N transformations: +1 per NO3 uptake, -1 per NH4
+        # uptake/production asymmetry (BEC convention)
+        add("ALK", no3_up - (remin_pon + remin_don))
+        if ncycle:
+            no2 = get("NO2")
+            inhib = jnp.exp(-par / PAR_NITRIF_INHIB)
+            nit1 = NITRIF1 / DAY * inhib * nh4
+            nit2 = NITRIF2 / DAY * inhib * no2
+            add("NH4", -nit1)
+            add("NO2", nit1 - nit2)
+            add("NO3", nit2)
+            add("O2", -1.5 * nit1 - 0.5 * nit2)
+            add("ALK", -nit1)
+            # suboxic denitrification chain
+            sub = jnp.where(o2 < O2_SUBOXIC, 1.0, 0.0)
+            den1 = DENITR / DAY * sub * no3
+            den2 = DENITR / DAY * sub * no2
+            add("NO3", -den1)
+            add("NO2", den1 - den2)
+            add("N2O", 0.5 * N2O_YIELD * den2)
+            add("N2", 0.5 * (1.0 - N2O_YIELD) * den2)
+            add("ALK", den1)
+            # N2 fixation draws down dissolved N2 (mmol N2 = 2 N)
+            add("N2", -0.5 * nfix)
+        else:
+            inhib = jnp.exp(-par / PAR_NITRIF_INHIB)
+            nit = NITRIF1 / DAY * inhib * nh4
+            add("NH4", -nit)
+            add("NO3", nit)
+            add("O2", -2.0 * nit)
+            add("ALK", -2.0 * nit)
+
+        # phosphorus closure
+        add("PO4", remin_pop + remin_dop - photo_tot * Q_CP)
+
+        # ALT_CO2 mirror tracers share the biological DIC/ALK tendencies
+        if has("DIC_ALT_CO2"):
+            d = d.at[I("DIC_ALT_CO2")].add(d[I("DIC")])
+            d = d.at[I("ALK_ALT_CO2")].add(d[I("ALK")])
+        if has("SPP"):
+            # explicit per-group P pools (MARBL): slaved to the group's
+            # carbon tendency at Redfield (their PO4 exchange is already
+            # accounted in the bulk P closure above)
+            for cn, pn in (("SPC", "SPP"), ("DIATC", "DIATP"),
+                           ("DIAZC", "DIAZP")):
+                d = d.at[I(pn)].add(d[I(cn)] * Q_CP)
+
+        d = d * ctx.rmask[None, None]
+        # No persisted saved state: the reference carries the previous pH
+        # as the seed of MARBL's iterative carbonate solver across restarts
+        # (marbl_driver.F:679-857); the closed-form solve used here needs
+        # no seed, so restarts carry no extra BGC state.
+        return d, None
+
+    return interior
+
+
+def make_surface_flux(names: Tuple[str, ...]):
+    idx = {n.upper(): i for i, n in enumerate(names)}
+    has = lambda n: n.upper() in idx
+    I = lambda n: idx[n.upper()]
+
+    def surface_flux(trc, ctx: BGCContext, forc):
+        """Air-sea gas exchange (O2, CO2) + atmospheric deposition
+        (dust->Fe, iron, NOx->NO3, NHy->NH4) (reference: src/bgc_forces.F,
+        bec2_driver gas-exchange sections).  Returns (nbgc, jy, ix)
+        kinematic fluxes [conc * m/s], positive into the ocean."""
+        nb = trc.shape[0]
+        flx = jnp.zeros((nb,) + ctx.srflx.shape, trc.dtype)
+        forc = forc or {}
+        temp = ctx.temp[-1]
+        salt = ctx.salt[-1] if ctx.salt is not None \
+            else jnp.full_like(temp, 35.0)
+
+        o2 = trc[I("O2")][-1]
+        o2sat = o2_saturation(temp, salt)
+        flx = flx.at[I("O2")].set(PISTON * (o2sat - o2))
+
+        def co2flx(dic_n, alk_n, pco2_key):
+            dic = trc[I(dic_n)][-1]
+            alk = trc[I(alk_n)][-1]
+            pco2_oc, ph, co2star = _co2_equilibrium(dic, alk, temp, salt)
+            pco2_air = forc.get(pco2_key)
+            if pco2_air is None:
+                pco2_air = jnp.full_like(temp, 420.0)
+            # flux = kw * K0 * (pCO2_air - pCO2_oc); express via co2star:
+            # co2star/K0 = pco2_oc  =>  K0*d_pco2 = co2star * dp/pco2_oc
+            scale = co2star / jnp.maximum(pco2_oc, 1e-3)
+            return PISTON * (pco2_air - pco2_oc) * scale
+
+        flx = flx.at[I("DIC")].add(co2flx("DIC", "ALK", "pco2_air"))
+        if has("DIC_ALT_CO2"):
+            flx = flx.at[I("DIC_ALT_CO2")].add(
+                co2flx("DIC_ALT_CO2", "ALK_ALT_CO2", "pco2_air_alt"))
+
+        if "dust" in forc:
+            flx = flx.at[I("FE")].add(forc["dust"] * DUST_TO_FE * 1.0e-3)
+        if "iron" in forc:
+            # nmol/cm2/s -> mmol/m2/s = 1e-9 mol/1e-4 m2 = 1e-5 mol/m2/s
+            flx = flx.at[I("FE")].add(forc["iron"] * 1.0e-2)
+        if "nox" in forc:
+            flx = flx.at[I("NO3")].add(forc["nox"] * 1.0e-2)
+        if "nhy" in forc:
+            flx = flx.at[I("NH4")].add(forc["nhy"] * 1.0e-2)
+        return flx * ctx.rmask[None]
+
+    return surface_flux
+
+
+def make_init_tracers(names: Tuple[str, ...]):
+    def init_tracers(cfg, z_r, dtype=jnp.float64):
+        import numpy as np
+        from roms_tpu.cases.uswc import bgc_profile
+        z = np.asarray(z_r, np.float64)
+        return jnp.stack([jnp.asarray(bgc_profile(n, z), dtype)
+                          for n in names], axis=0)
+    return init_tracers
+
+
+def _build(name, tracers):
+    interior0 = make_interior(tracers)
+
+    def interior(trc, ctx, saved, forc=None):
+        return interior0(trc, ctx, saved, forc)
+
+    return BGCModel(
+        name=name, tracer_names=tracers,
+        interior_tendency=interior,
+        surface_flux=make_surface_flux(tracers),
+        init_tracers=make_init_tracers(tracers),
+        init_saved=lambda cfg, shape, dtype: None)
+
+
+@register("bec2")
+def build_bec2() -> BGCModel:
+    return _build("bec2", BEC2_TRACERS)
+
+
+@register("marbl32")
+def build_marbl32() -> BGCModel:
+    return _build("marbl32", MARBL_TRACERS)

@@ -40,7 +40,7 @@ def _light(ctx: BGCContext):
     return PAR_FRAC * jnp.maximum(sw_wm2, 0.0) * frac_r
 
 
-def interior_tendency(trc, ctx: BGCContext, saved):
+def interior_tendency(trc, ctx: BGCContext, saved, forc=None):
     no3, phy, zoo, det = trc[0], trc[1], trc[2], trc[3]
     no3 = jnp.maximum(no3, 0.0)
     phy = jnp.maximum(phy, 0.0)
@@ -78,7 +78,7 @@ def interior_tendency(trc, ctx: BGCContext, saved):
     return d, saved
 
 
-def surface_flux(trc, ctx: BGCContext, forc):
+def surface_flux(trc, ctx: BGCContext, forc=None):
     # no air-sea exchange for N-based tracers
     return jnp.zeros((4,) + ctx.srflx.shape, trc.dtype)
 

@@ -190,8 +190,15 @@ def s_profile(z):
     return 34.4 - 0.8 * np.exp(z / 130.0)
 
 
+_BGC_PROFILES_NORM = {k.upper(): v for k, v in BGC_PROFILES.items()}
+_BGC_PROFILES_NORM.setdefault("DOFE", (1.0e-5, 4.0e-5, 80.0))
+
+
 def bgc_profile(name: str, z):
-    deep, delta, scale = BGC_PROFILES[name]
+    """Case-insensitive: the BEC2 table spells tracers 'Alk'/'SPCACO3',
+    MARBL spells them 'ALK'/'spCaCO3' (reference: tracers.opt vs
+    marbl tracer short names)."""
+    deep, delta, scale = _BGC_PROFILES_NORM[name.upper()]
     return deep + delta * np.exp(z / scale)
 
 

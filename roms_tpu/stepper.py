@@ -448,8 +448,11 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
             z_r=zr_new, z_w=zw_new, hz=hz_new, srflx=forcing.srflx,
             swr_frac=state.swrf, rmask=grid.rmask, dt=cfg.dt,
             time=state.time)
-        dtr, _ = model.interior_tendency(t_new[i0:], ctx, None)
-        sfl = model.surface_flux(t_new[i0:], ctx, forcing)
+        # atmospheric BGC forcing fields (dust/iron/pco2/...) ride on the
+        # Forcing pytree (reference: bgc_forces.F via set_forces)
+        dtr, _ = model.interior_tendency(t_new[i0:], ctx, None,
+                                         forcing.bgc)
+        sfl = model.surface_flux(t_new[i0:], ctx, forcing.bgc)
         t_bgc = t_new[i0:] + cfg.dt * dtr
         t_bgc = t_bgc.at[:, -1].add(cfg.dt * sfl / hz_new[-1])
         if cfg.masking:
