@@ -525,6 +525,14 @@ def build_bec2() -> BGCModel:
     return _build("bec2", BEC2_TRACERS)
 
 
+@register("bec2_base")
+def build_bec2_base() -> BGCModel:
+    """BEC2 without the Ncycle_SY extension (26 tracers — reference:
+    param.opt:26-30 `ntrc_bio=26` when Ncycle_SY is undefined, the
+    tests/bgc_real cppdefs_BEC.opt configuration)."""
+    return _build("bec2_base", BEC2_TRACERS[:-3])
+
+
 @register("marbl32")
 def build_marbl32() -> BGCModel:
     return _build("marbl32", MARBL_TRACERS)

@@ -55,9 +55,11 @@ def config(mode: str = "radiating", ntimes: int = 60) -> ModelConfig:
 
 
 def setup(cfg: ModelConfig, dtype=jnp.float64, inflow_u: float = 0.0,
-          t_inflow: float | None = None):
+          t_inflow: float | None = None, land_blob: bool = False):
     """Build (grid, state, forcing).  For the inflow case pass
-    `inflow_u` > 0 and `t_inflow` (boundary tracer value)."""
+    `inflow_u` > 0 and `t_inflow` (boundary tracer value).  With
+    `land_blob` a circular island is masked out in the NE quadrant so the
+    masked-update paths are genuinely exercised (not an all-ones mask)."""
     h = cfg.halo
     npdt = np.float64
     jy, ix = cfg.ny + 2 * h, cfg.nx + 2 * h
@@ -73,6 +75,10 @@ def setup(cfg: ModelConfig, dtype=jnp.float64, inflow_u: float = 0.0,
     f = np.full((jy, ix), F0, npdt)
     hb = np.full((jy, ix), H0, npdt)
     rmask = np.ones((jy, ix), npdt)
+    if land_blob:
+        r2 = ((xr - 0.7 * cfg.nx * DX) ** 2
+              + (yr - 0.7 * cfg.ny * DX) ** 2)
+        rmask[r2 < (0.12 * cfg.nx * DX) ** 2] = 0.0
     grid = build_grid(cfg, hb, pm, pn, f, rmask, xr=xr, yr=yr, dtype=dtype)
 
     st = zeros_state(cfg, dtype)

@@ -143,6 +143,18 @@ class ModelConfig:
     # ---- halo -------------------------------------------------------------
     halo: int = 2  # ghost cells per side (reference: set_global_definitions.h:146)
 
+    # ---- mesh-divisibility padding ------------------------------------------
+    # Inert columns/rows appended AFTER the padded-global array's east/north
+    # ghost ring so arbitrary grids shard onto an equal-block mesh (the
+    # reverse of the reference's edge-rank remainder absorption,
+    # reference: src/mpi_setup.F:115-155).  Padded cells carry rmask=0 and
+    # replicated metrics; every end-relative (east/north) physical-edge
+    # index in the kernels shifts by these STATIC offsets.  Nonzero only
+    # inside the distributed step's per-block view (set by
+    # parallel.dist.pad_for_mesh); the single-device path always runs 0.
+    pad_e: int = 0
+    pad_n: int = 0
+
     # ---- coupling constants ------------------------------------------------
     # Fast-flux extrapolation weights (reference: src/set_depth.F:314-316,
     # "PAC23 verified setting", alpha_max = 1.0877).

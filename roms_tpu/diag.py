@@ -35,6 +35,58 @@ def _interior(a, h):
     return a[..., h:-h, h:-h]
 
 
+# ---------------------------------------------------------------------------
+# deterministic, device-count-independent summation
+# (reference: diag.F:14 SUM_BY_PAIRS + :434-470 manual binary tree — the
+# reference guarantees sums independent of rank count; here the same
+# guarantee comes from a CANONICAL 8x8 block decomposition of the global
+# interior: every block is pairwise-tree-summed with an explicit, shape-
+# independent pairing, then the 64 block sums are combined in one fixed
+# pairwise tree.  Any mesh whose axes divide 8 — and any grid whose
+# interior dims divide 8 — produces bitwise-identical diagnostics.)
+# ---------------------------------------------------------------------------
+
+NB_SUM = 8  # canonical sum-block grid (NB_SUM x NB_SUM blocks globally)
+
+
+def _pairwise_last(x):
+    """Exact pairwise binary-tree sum over the last axis (zero-padded to a
+    power of two; explicit elementwise adds, so the pairing — hence the
+    rounding — is independent of array layout and device count)."""
+    n = x.shape[-1]
+    m = 1 << max(n - 1, 0).bit_length()
+    if m != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+        x = jnp.pad(x, pad)
+    while x.shape[-1] > 1:
+        x = x[..., 0::2] + x[..., 1::2]
+    return x[..., 0]
+
+
+def _block_sums(f2d, nby, nbx):
+    """Pairwise-tree sum of each (nby x nbx) block of a 2D field ->
+    (nby, nbx) array of exact per-block sums."""
+    ny, nx = f2d.shape
+    by, bx = ny // nby, nx // nbx
+    b = f2d.reshape(nby, by, nbx, bx).transpose(0, 2, 1, 3)
+    return _pairwise_last(b.reshape(nby, nbx, by * bx))
+
+
+def _canonical_ok(ny_i, nx_i, my=1, mx=1):
+    return (ny_i % NB_SUM == 0 and nx_i % NB_SUM == 0
+            and NB_SUM % my == 0 and NB_SUM % mx == 0)
+
+
+def deterministic_sum(f2d):
+    """Canonical-block pairwise sum of a full 2D interior field (the
+    single-device entry; the distributed path reduces the same canonical
+    blocks, so both agree bitwise)."""
+    if _canonical_ok(*f2d.shape):
+        blocks = _block_sums(f2d, NB_SUM, NB_SUM)
+        return _pairwise_last(blocks.reshape(1, -1))[0]
+    return jnp.sum(f2d)
+
+
 def compute_diag(state: OceanState, grid: Grid, cfg: ModelConfig) -> Diag:
     """Diagnostics of the just-completed step.
 
@@ -44,48 +96,7 @@ def compute_diag(state: OceanState, grid: Grid, cfg: ModelConfig) -> Diag:
     corrected n+1/2 fluxes, and the new density (reference: diag.F:129-237).
     """
     h = cfg.halo
-    u = state.u_prev
-    v = state.v_prev
-    hz = state.hz
-    z_w = state.z_w
-
-    # barotropic (vertical mean) velocities at u/v points (diag.F:129-146)
-    hzu = hz + shift(hz, 0, -1)
-    hzv = hz + shift(hz, -1, 0)
-    ub = jnp.sum(hzu * u, axis=0) / (z_w[-1] + shift(z_w[-1], 0, -1)
-                                     - z_w[0] - shift(z_w[0], 0, -1))
-    vb = jnp.sum(hzv * v, axis=0) / (z_w[-1] + shift(z_w[-1], -1, 0)
-                                     - z_w[0] - shift(z_w[0], -1, 0))
-
-    v2_2d = 0.5 * (ub ** 2 + shift(ub, 0, 1) ** 2
-                   + vb ** 2 + shift(vb, 1, 0) ** 2)
-    v2_3d = 0.5 * (u ** 2 + shift(u, 0, 1) ** 2
-                   + v ** 2 + shift(v, 1, 0) ** 2)
-
-    if cfg.masking:
-        da = grid.rmask / (grid.pm * grid.pn)
-    else:
-        da = 1.0 / (grid.pm * grid.pn)
-
-    ke = da * jnp.sum(0.5 * v2_3d * hz, axis=0)
-    ke2b = da * 0.5 * (z_w[-1] - z_w[0]) * v2_2d
-    cffg = cfg.g / cfg.rho0
-    pe = da * (0.5 * cfg.g * z_w[-1] ** 2
-               + jnp.sum(cffg * hz * state.rho * (state.z_r - z_w[0][None]),
-                         axis=0))
-    dvol = da * z_w[-1]
-
-    # advective Courant numbers (diag.F:183-206)
-    if cfg.masking:
-        civ = cfg.dt * grid.rmask[None] * (grid.pm * grid.pn)[None] / hz
-    else:
-        civ = cfg.dt * (grid.pm * grid.pn)[None] / hz
-    wtot = state.we + state.wi
-    cw = civ * (jnp.maximum(wtot[1:], 0.0) - jnp.minimum(wtot[:-1], 0.0))
-    cx = cw + civ * (jnp.maximum(shift(state.flx_u, 0, 1), 0.0)
-                     - jnp.minimum(state.flx_u, 0.0)
-                     + jnp.maximum(shift(state.flx_v, 1, 0), 0.0)
-                     - jnp.minimum(state.flx_v, 0.0))
+    ke, ke2b, pe, dvol, cx, cw, v2_2d = _local_fields(state, grid, cfg)
 
     cx_i = _interior(cx, h)
     cw_i = _interior(cw, h)
@@ -94,10 +105,10 @@ def compute_diag(state: OceanState, grid: Grid, cfg: ModelConfig) -> Diag:
     cu_adv = flat.reshape(-1)[idx]
     cu_w = cw_i.reshape(-1)[idx]
 
-    s_zeta = jnp.sum(_interior(dvol, h))
-    s_ke = jnp.sum(_interior(ke, h))
-    s_pe = jnp.sum(_interior(pe, h))
-    s_ke2b = jnp.sum(_interior(ke2b, h))
+    s_zeta = deterministic_sum(_interior(dvol, h))
+    s_ke = deterministic_sum(_interior(ke, h))
+    s_pe = deterministic_sum(_interior(pe, h))
+    s_ke2b = deterministic_sum(_interior(ke2b, h))
     denom = grid.volume + s_zeta
     return Diag(avke=s_ke / denom, avke2b=s_ke2b / denom, avpe=s_pe / denom,
                 avzeta=s_zeta / grid.area, cu_adv=cu_adv, cu_w=cu_w,
@@ -142,41 +153,61 @@ def _local_fields(state: OceanState, grid: Grid, cfg: ModelConfig):
 
 
 def make_distributed_diag(cfg: ModelConfig, mesh):
-    """Jitted distributed diagnostics over block-halo-layout state: each
-    block reduces its owned interior, partial results are all-gathered and
-    combined in fixed block order — the TPU analog of the reference's
-    deterministic cross-rank tree reduction (reference: diag.F:434-470
-    manual binary tree; determinism note diag.F:14)."""
-    from functools import partial as _partial
+    """Jitted distributed diagnostics over block-halo-layout state.
 
+    Sums reduce the same canonical 8x8 block decomposition as the
+    single-device `compute_diag` — per-block exact pairwise trees,
+    all-gathered into canonical (y, x) order, combined by one fixed
+    pairwise tree — so single-device and any-mesh diagnostics are
+    BITWISE identical whenever the interior dims and mesh axes divide 8
+    (the TPU analog of the reference's rank-count-independent reduction,
+    reference: diag.F:14 SUM_BY_PAIRS, :434-470 manual binary tree).
+    Non-divisible configs fall back to a fixed-block-order combine
+    (deterministic for a fixed mesh)."""
     from jax import lax
     from jax.sharding import PartitionSpec as P
     from roms_tpu.parallel.dist import specs_like
 
     h = cfg.halo
+    my, mx = mesh.shape["y"], mesh.shape["x"]
+    canonical = _canonical_ok(cfg.ny, cfg.nx, my, mx)
+
+    def _gathered_sum(f_int):
+        """Exact canonical-block sum of one per-shard interior field."""
+        loc = _block_sums(f_int, NB_SUM // my, NB_SUM // mx)
+        g = lax.all_gather(loc, "x")           # (mx, nby_l, nbx_l)
+        g = lax.all_gather(g, "y")             # (my, mx, nby_l, nbx_l)
+        g = g.transpose(0, 2, 1, 3).reshape(NB_SUM, NB_SUM)
+        return _pairwise_last(g.reshape(1, -1))[0]
 
     def local(state, grid):
         ke, ke2b, pe, dvol, cx, cw, v2_2d = _local_fields(state, grid, cfg)
-        parts = jnp.stack([jnp.sum(_interior(f, h))
-                           for f in (ke, ke2b, pe, dvol)])
         cx_i = _interior(cx, h)
         cw_i = _interior(cw, h)
         idx = jnp.argmax(cx_i.reshape(-1))
         my_cx = cx_i.reshape(-1)[idx]
         my_cw = cw_i.reshape(-1)[idx]
         my_v2 = jnp.max(_interior(v2_2d, h))
-        # fixed-order combine: gather per-block rows over both mesh axes
-        row = jnp.concatenate([parts, jnp.stack([my_cx, my_cw, my_v2])])
+        row = jnp.stack([my_cx, my_cw, my_v2])
         allrows = lax.all_gather(row, "x")
         allrows = lax.all_gather(allrows, "y").reshape(-1, row.shape[0])
-        sums = jnp.sum(allrows[:, :4], axis=0)  # fixed (y,x) block order
-        ib = jnp.argmax(allrows[:, 4])
-        cu_adv = allrows[ib, 4]
-        cu_w = allrows[ib, 5]
-        v2max = jnp.max(allrows[:, 6])
-        denom = grid.volume + sums[3]
-        return Diag(avke=sums[0] / denom, avke2b=sums[1] / denom,
-                    avpe=sums[2] / denom, avzeta=sums[3] / grid.area,
+        if canonical:
+            s_ke, s_ke2b, s_pe, s_zeta = (
+                _gathered_sum(_interior(f, h))
+                for f in (ke, ke2b, pe, dvol))
+        else:
+            parts = jnp.stack([jnp.sum(_interior(f, h))
+                               for f in (ke, ke2b, pe, dvol)])
+            ap = lax.all_gather(parts, "x")
+            ap = lax.all_gather(ap, "y").reshape(-1, 4)
+            s_ke, s_ke2b, s_pe, s_zeta = jnp.sum(ap, axis=0)
+        ib = jnp.argmax(allrows[:, 0])
+        cu_adv = allrows[ib, 0]
+        cu_w = allrows[ib, 1]
+        v2max = jnp.max(allrows[:, 2])
+        denom = grid.volume + s_zeta
+        return Diag(avke=s_ke / denom, avke2b=s_ke2b / denom,
+                    avpe=s_pe / denom, avzeta=s_zeta / grid.area,
                     cu_adv=cu_adv, cu_w=cu_w, v2d_max=jnp.sqrt(v2max))
 
     def wrapped(state, grid):

@@ -88,7 +88,7 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
     from roms_tpu.diag import make_distributed_diag
     from roms_tpu.monitor import check_blowup
     from roms_tpu.parallel.dist import (from_blocked, make_distributed_step,
-                                        to_blocked)
+                                        pad_for_mesh, to_blocked)
 
     if nsteps is None:
         nsteps = cfg.ntimes
@@ -98,11 +98,13 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
     w2 = jnp.asarray(w2, dtype)
 
     h = cfg.halo
-    state_b = to_blocked(state, mesh, h)
-    forcing_b = to_blocked(forcing, mesh, h)
-    grid_b = to_blocked(grid, mesh, h)
+    cfg_p = pad_for_mesh(cfg, mesh)   # no-op when mesh-divisible
+    pads = (cfg_p.pad_n, cfg_p.pad_e)
+    state_b = to_blocked(state, mesh, h, pads=pads)
+    forcing_b = to_blocked(forcing, mesh, h, pads=pads)
+    grid_b = to_blocked(grid, mesh, h, pads=pads)
     step_first, step_rest = make_distributed_step(cfg, mesh)
-    diag_fn = make_distributed_diag(cfg, mesh) if collect_diag else None
+    diag_fn = make_distributed_diag(cfg_p, mesh) if collect_diag else None
 
     rows = []
 
@@ -126,4 +128,4 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
         log(state_b, i + 1)
         if step_hook is not None:
             step_hook(state_b, i + 1)
-    return from_blocked(state_b, mesh, h), np.asarray(rows)
+    return from_blocked(state_b, mesh, h, pads=pads), np.asarray(rows)

@@ -170,3 +170,41 @@ def build_grid(cfg: ModelConfig, h, pm, pn, f, rmask, xr=None, yr=None,
         cs_w=jnp.asarray(cs_w, dtype), cs_r=jnp.asarray(cs_r, dtype),
         area=jnp.asarray(area, dtype), volume=jnp.asarray(volume, dtype),
     )
+
+
+def grid_stiffness(z_w, grid, cfg: ModelConfig):
+    """Maximum grid stiffness ratios rx0 (Beckmann-Haidvogel, bottom
+    slope) and rx1 (Haney, layer-interface slope) over unmasked u/v faces
+    of the interior — purely diagnostic (reference: src/grid_stiffness.F
+    grid_stiffness_tile; printed at init, main.F:223-225).
+
+    z_w: (nz+1, jy, ix) rest-state interface depths.  Returns
+    (rx0, rx1) floats."""
+    import numpy as np
+
+    zw = np.asarray(z_w, np.float64)
+    h_ = cfg.halo
+
+    def face_ratios(zw_m, zw_p, mask):
+        # zw_m/zw_p: (nz+1, ...) at the two cells of each face
+        r0 = np.abs((zw_p[0] - zw_m[0]) / (zw_p[0] + zw_m[0]))
+        num = (zw_p[1:] - zw_m[1:] + zw_p[:-1] - zw_m[:-1])
+        den = (zw_p[1:] + zw_m[1:] - zw_p[:-1] - zw_m[:-1])
+        r1 = np.abs(num / den).max(axis=0)
+        if mask is not None:
+            keep = np.asarray(mask, np.float64) > 0.5
+            r0 = np.where(keep, r0, 0.0)
+            r1 = np.where(keep, r1, 0.0)
+        return r0, r1
+
+    sl = (slice(h_, -h_), slice(h_, -h_))
+    um = np.asarray(grid.umask)[sl] if cfg.masking else None
+    vm = np.asarray(grid.vmask)[sl] if cfg.masking else None
+    # u faces: cell (j, i) vs (j, i-1); v faces: (j, i) vs (j-1, i)
+    r0u, r1u = face_ratios(zw[:, h_:-h_, h_ - 1:-h_ - 1],
+                           zw[:, h_:-h_, h_:-h_], um)
+    r0v, r1v = face_ratios(zw[:, h_ - 1:-h_ - 1, h_:-h_],
+                           zw[:, h_:-h_, h_:-h_], vm)
+    rx0 = max(float(r0u.max()), float(r0v.max()))
+    rx1 = max(float(r1u.max()), float(r1v.max()))
+    return rx0, rx1

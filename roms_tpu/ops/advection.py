@@ -40,7 +40,9 @@ def horiz_tracer_flux(tk, flx_u, flx_v, grid, cfg: ModelConfig, scheme: AdvSchem
         # extrapolate elementary differences at the physical edges
         # (reference: compute_horiz_tracer_fluxes.h:74-83)
         dx = eset(dx, (Ellipsis, slice(None), 1), dx[..., :, 2], grid.own_w)
-        dx = eset(dx, (Ellipsis, slice(None), -1), dx[..., :, -2], grid.own_e)
+        pe = cfg.pad_e
+        dx = eset(dx, (Ellipsis, slice(None), -1 - pe), dx[..., :, -2 - pe],
+                  grid.own_e)
     if scheme is AdvScheme.UPSTREAM3:
         curv = shift(dx, 0, 1) - dx
         fx = (0.5 * (tk + shift(tk, 0, -1)) * flx_u
@@ -62,7 +64,9 @@ def horiz_tracer_flux(tk, flx_u, flx_v, grid, cfg: ModelConfig, scheme: AdvSchem
     if not cfg.ns_periodic:
         # (reference: compute_horiz_tracer_fluxes.h:155-164)
         de = eset(de, (Ellipsis, 1, slice(None)), de[..., 2, :], grid.own_s)
-        de = eset(de, (Ellipsis, -1, slice(None)), de[..., -2, :], grid.own_n)
+        pn = cfg.pad_n
+        de = eset(de, (Ellipsis, -1 - pn, slice(None)), de[..., -2 - pn, :],
+                  grid.own_n)
     if scheme is AdvScheme.UPSTREAM3:
         curv = shift(de, 1, 0) - de
         fe = (0.5 * (tk + shift(tk, -1, 0)) * flx_v
@@ -103,20 +107,21 @@ def horiz_uv_adv_rhs(u, v, flx_u, flx_v, grid, cfg: ModelConfig,
 
     def fix_we(a, dst_w=2, src_w=3, dst_e=-2, src_e=-3):
         """Physical-edge extrapolation of second differences
-        (reference: compute_horiz_rhs_uv_terms.h:71-84 etc.)."""
+        (reference: compute_horiz_rhs_uv_terms.h:71-84 etc.); east/north
+        indices shift by the mesh-divisibility pads."""
         if not cfg.ew_periodic:
             a = eset(a, (Ellipsis, slice(None), dst_w), a[..., :, src_w],
                      grid.own_w)
-            a = eset(a, (Ellipsis, slice(None), dst_e), a[..., :, src_e],
-                     grid.own_e)
+            a = eset(a, (Ellipsis, slice(None), dst_e - cfg.pad_e),
+                     a[..., :, src_e - cfg.pad_e], grid.own_e)
         return a
 
     def fix_ns(a, dst_s=2, src_s=3, dst_n=-2, src_n=-3):
         if not cfg.ns_periodic:
             a = eset(a, (Ellipsis, dst_s, slice(None)), a[..., src_s, :],
                      grid.own_s)
-            a = eset(a, (Ellipsis, dst_n, slice(None)), a[..., src_n, :],
-                     grid.own_n)
+            a = eset(a, (Ellipsis, dst_n - cfg.pad_n, slice(None)),
+                     a[..., src_n - cfg.pad_n, :], grid.own_n)
         return a
 
     # UFx: diagonal u-flux at rho points (reference: :65-101)

@@ -37,24 +37,25 @@ def _interior_mask(shape, cfg: ModelConfig, stagger: str, grid=None):
     edge strips are knocked out only on blocks owning the physical edge.
     """
     jy, ix = shape
+    pe, pn = cfg.pad_e, cfg.pad_n
     own = None if grid is None else (grid.own_w, grid.own_e,
                                      grid.own_s, grid.own_n)
     if own is None or all(o is None for o in own):
         m = np.ones(shape, bool)
         if stagger == "u":
             if not cfg.ew_periodic:
-                m[:, :3] = False          # west of Fortran istrU=2
-                m[:, ix - 2:] = False     # east of Fortran iend=nx
+                m[:, :3] = False              # west of Fortran istrU=2
+                m[:, ix - 2 - pe:] = False    # east of Fortran iend=nx
             if not cfg.ns_periodic:
                 m[:2, :] = False
-                m[jy - 2:, :] = False
+                m[jy - 2 - pn:, :] = False
         else:
             if not cfg.ns_periodic:
                 m[:3, :] = False
-                m[jy - 2:, :] = False
+                m[jy - 2 - pn:, :] = False
             if not cfg.ew_periodic:
                 m[:, :2] = False
-                m[:, ix - 2:] = False
+                m[:, ix - 2 - pe:] = False
         return jnp.asarray(m)
 
     ow, oe, os_, on = own
@@ -65,10 +66,10 @@ def _interior_mask(shape, cfg: ModelConfig, stagger: str, grid=None):
     slim = 3 if stagger == "v" else 2
     if not cfg.ew_periodic:
         m = m & ~(ow & (col < wlim))[None, :]
-        m = m & ~(oe & (col >= ix - 2))[None, :]
+        m = m & ~(oe & (col >= ix - 2 - pe))[None, :]
     if not cfg.ns_periodic:
         m = m & ~(os_ & (row < slim))[:, None]
-        m = m & ~(on & (row >= jy - 2))[:, None]
+        m = m & ~(on & (row >= jy - 2 - pn))[:, None]
     return m
 
 # AB3-AM4 coefficient regimes (reference: step2d_FB.F:77-100)

@@ -53,6 +53,55 @@ GRW = slice(2, -1)   # grad high range
 GLW = slice(1, -2)   # grad low range
 
 
+class _Ax:
+    """Pad-aware index set for one axis (mesh-divisibility padding: `pad`
+    inert cells sit beyond the east/north ghost ring, so every
+    end-relative CROSS-edge physical index shifts by -pad; cfg.pad_e /
+    pad_n are 0 on the single-device path, reproducing the literal
+    indices of the docstring's index map).
+
+    ALONG-edge ranges stay unpadded: inside shard_map the pad exists only
+    in the blocks owning the high (east/north) end, so range shrinking is
+    applied per-block via `_trim_hi` at write time, exactly like the low
+    -end staggered trim `_trim_lo`."""
+
+    def __init__(self, pad: int):
+        self.pad = pad
+        self.gh = -2 - pad         # physical ghost (Fortran 0 / end+1)
+        self.in1 = -3 - pad        # first interior (Fortran 1 / end)
+        self.in2 = -4 - pad
+        self.IN = slice(2, -2)
+        self.GR = slice(2, -1)
+        self.GL = slice(1, -2)
+        self.INW = slice(2, -2)
+        self.IWW = slice(1, -3)
+        self.GRW = slice(2, -1)
+        self.GLW = slice(1, -2)
+        self.IN1 = slice(3, -1)    # jstr+1..jend+1 range
+
+
+def _axes_of(cfg):
+    """(x-axis, y-axis) pad-aware index sets."""
+    return _Ax(cfg.pad_e), _Ax(cfg.pad_n)
+
+
+def _trim_hi(val, orig, own_hi, pad: int):
+    """Drop the last `pad` along-edge positions of an edge update on
+    blocks owning the high (east/north) end — there they are cross-ghost
+    /pad cells whose values are set by the corner/ghost logic, while on
+    interior blocks the full range is physical and must be written."""
+    if pad == 0:
+        return val
+    val = jnp.asarray(val)
+    if val.ndim == 0:
+        val = jnp.broadcast_to(val, orig.shape)
+    n = orig.shape[-1]
+    keep = jnp.arange(n) < n - pad
+    if own_hi is not None:
+        keep = jnp.logical_or(jnp.logical_not(own_hi), keep)
+    return jnp.where(keep, val, orig)
+
+
 def _trim_lo(val, orig, own_lo):
     """Drop the first edge-parallel position (local index 2, Fortran istr /
     jstr) from a tangential-BC update on blocks owning the low end of the
@@ -111,51 +160,63 @@ def zetabc(z_new, z_stp, grid, cfg: ModelConfig, bry=None):
     g = cfg.g
     dtf = cfg.dtfast
     flather = cfg.obc_m2 == "flather"
+    ax, ay = _axes_of(cfg)
+    INY, INX = ay.IN, ax.IN
+    eg, ei = ax.gh, ax.in1       # east ghost / first-interior columns
+    ng, ni = ay.gh, ay.in1       # north ghost / first-interior rows
 
     if not cfg.ew_periodic:
         if cfg.obc_west and flather:
-            cx = dtf * grid.pm[IN, 2] * jnp.sqrt(g * grid.h[IN, 2])
-            val = (1.0 - cx) * z_stp[IN, 1] + cx * z_stp[IN, 2]
-            z = eset(z, (IN, 1), _apply_mask(val, m, IN, 1), grid.own_w)
+            cx = dtf * grid.pm[INY, 2] * jnp.sqrt(g * grid.h[INY, 2])
+            val = (1.0 - cx) * z_stp[INY, 1] + cx * z_stp[INY, 2]
+            val = _trim_hi(_apply_mask(val, m, INY, 1), z[INY, 1],
+                           grid.own_n, ay.pad)
+            z = eset(z, (INY, 1), val, grid.own_w)
         else:
             z = eset(z, (slice(None), 1),
                      z[:, 2] * (m[:, 1] if m is not None else 1.0),
                      grid.own_w)
         if cfg.obc_east and flather:
-            cx = dtf * grid.pm[IN, -3] * jnp.sqrt(g * grid.h[IN, -3])
-            val = (1.0 - cx) * z_stp[IN, -2] + cx * z_stp[IN, -3]
-            z = eset(z, (IN, -2), _apply_mask(val, m, IN, -2), grid.own_e)
+            cx = dtf * grid.pm[INY, ei] * jnp.sqrt(g * grid.h[INY, ei])
+            val = (1.0 - cx) * z_stp[INY, eg] + cx * z_stp[INY, ei]
+            val = _trim_hi(_apply_mask(val, m, INY, eg), z[INY, eg],
+                           grid.own_n, ay.pad)
+            z = eset(z, (INY, eg), val, grid.own_e)
         else:
-            z = eset(z, (slice(None), -2),
-                     z[:, -3] * (m[:, -2] if m is not None else 1.0),
+            z = eset(z, (slice(None), eg),
+                     z[:, ei] * (m[:, eg] if m is not None else 1.0),
                      grid.own_e)
     if not cfg.ns_periodic:
         if cfg.obc_south and flather:
-            cx = dtf * grid.pn[2, IN] * jnp.sqrt(g * grid.h[2, IN])
-            val = (1.0 - cx) * z_stp[1, IN] + cx * z_stp[2, IN]
-            z = eset(z, (1, IN), _apply_mask(val, m, 1, IN), grid.own_s)
+            cx = dtf * grid.pn[2, INX] * jnp.sqrt(g * grid.h[2, INX])
+            val = (1.0 - cx) * z_stp[1, INX] + cx * z_stp[2, INX]
+            val = _trim_hi(_apply_mask(val, m, 1, INX), z[1, INX],
+                           grid.own_e, ax.pad)
+            z = eset(z, (1, INX), val, grid.own_s)
         else:
             z = eset(z, (1, slice(None)),
                      z[2, :] * (m[1, :] if m is not None else 1.0),
                      grid.own_s)
         if cfg.obc_north and flather:
-            cx = dtf * grid.pn[-3, IN] * jnp.sqrt(g * grid.h[-3, IN])
-            val = (1.0 - cx) * z_stp[-2, IN] + cx * z_stp[-3, IN]
-            z = eset(z, (-2, IN), _apply_mask(val, m, -2, IN), grid.own_n)
+            cx = dtf * grid.pn[ni, INX] * jnp.sqrt(g * grid.h[ni, INX])
+            val = (1.0 - cx) * z_stp[ng, INX] + cx * z_stp[ni, INX]
+            val = _trim_hi(_apply_mask(val, m, ng, INX), z[ng, INX],
+                           grid.own_e, ax.pad)
+            z = eset(z, (ng, INX), val, grid.own_n)
         else:
-            z = eset(z, (-2, slice(None)),
-                     z[-3, :] * (m[-2, :] if m is not None else 1.0),
+            z = eset(z, (ng, slice(None)),
+                     z[ni, :] * (m[ng, :] if m is not None else 1.0),
                      grid.own_n)
     if not cfg.ew_periodic and not cfg.ns_periodic:
         # ghost corners = average of the two adjacent ghosts
         # (reference: zetabc.F corner section)
         z = eset(z, (1, 1), 0.5 * (z[1, 2] + z[2, 1]),
                  band(grid.own_s, grid.own_w))
-        z = eset(z, (1, -2), 0.5 * (z[1, -3] + z[2, -2]),
+        z = eset(z, (1, eg), 0.5 * (z[1, ei] + z[2, eg]),
                  band(grid.own_s, grid.own_e))
-        z = eset(z, (-2, 1), 0.5 * (z[-2, 2] + z[-3, 1]),
+        z = eset(z, (ng, 1), 0.5 * (z[ng, 2] + z[ni, 1]),
                  band(grid.own_n, grid.own_w))
-        z = eset(z, (-2, -2), 0.5 * (z[-2, -3] + z[-3, -2]),
+        z = eset(z, (ng, eg), 0.5 * (z[ng, ei] + z[ni, eg]),
                  band(grid.own_n, grid.own_e))
     return z
 
@@ -216,46 +277,54 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
     pmk = grid.pmask if cfg.masking else None
     g, dtf = cfg.g, cfg.dtfast
     g2 = cfg.gamma2
+    ax, ay = _axes_of(cfg)
+    INY, INX = ay.IN, ax.IN
 
     # ---- West/East: normal component --------------------------------------
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
             own = grid.own_e if east else grid.own_w
-            gh, in1, in2 = ((-2, -3, -4) if east else (2, 3, 4))
-            ghr, inr = ((-2, -3) if east else (1, 2))  # rho cols ghost/in
+            gh, in1, in2 = ((ax.gh, ax.in1, ax.in2) if east else (2, 3, 4))
+            ghr, inr = ((ax.gh, ax.in1) if east else (1, 2))  # rho cols
             sgn = 1.0 if east else -1.0
             if not open_edge:
                 # closed wall, no-flux
                 u = eset(u, (Ellipsis, slice(None), gh), 0.0 * u[..., :, gh],
                          own)
                 continue
-            ub_ext = _bry(bry, "ubar_east" if east else "ubar_west", IN)
-            z_ext = _bry(bry, "zeta_east" if east else "zeta_west", IN)
+            ub_ext = _bry(bry, "ubar_east" if east else "ubar_west", INY)
+            z_ext = _bry(bry, "zeta_east" if east else "zeta_west", INY)
             if cfg.obc_m2 == "flather":
-                cff = 0.5 * (grid.h[IN, ghr] + grid.h[IN, inr])
+                cff = 0.5 * (grid.h[INY, ghr] + grid.h[INY, inr])
                 hx = jnp.sqrt(g / cff)
-                cx = dtf * cff * hx * 0.5 * (grid.pm[IN, ghr]
-                                             + grid.pm[IN, inr])
-                zx = _flather_zx(z_stp[IN, inr], z_stp[IN, ghr],
-                                 z_new[IN, inr], cx)
-                val = 0.5 * ((1.0 - cx) * ubar_stp[IN, gh]
-                             + cx * ubar_stp[IN, in1]
+                cx = dtf * cff * hx * 0.5 * (grid.pm[INY, ghr]
+                                             + grid.pm[INY, inr])
+                zx = _flather_zx(z_stp[INY, inr], z_stp[INY, ghr],
+                                 z_new[INY, inr], cx)
+                val = 0.5 * ((1.0 - cx) * ubar_stp[INY, gh]
+                             + cx * ubar_stp[INY, in1]
                              + ub_ext + sgn * hx * (zx - z_ext))
-                u = eset(u, (IN, gh), _apply_mask(val, um, IN, gh), own)
+                val = _trim_hi(_apply_mask(val, um, INY, gh), u[INY, gh],
+                               grid.own_n, ay.pad)
+                u = eset(u, (INY, gh), val, own)
             elif cfg.obc_m2 == "orlanski":
                 def grad_col(c):
-                    gcol = ubar_stp[GR, c] - ubar_stp[slice(1, -2), c]
-                    return gcol * pmk[GR, c] if pmk is not None else gcol
-                gpm = 0.5 * (grid.pm[IN, ghr] + grid.pm[IN, inr])
+                    gcol = ubar_stp[ay.GR, c] - ubar_stp[ay.GL, c]
+                    return gcol * pmk[ay.GR, c] if pmk is not None else gcol
+                gpm = 0.5 * (grid.pm[INY, ghr] + grid.pm[INY, inr])
                 val = _orl2d_normal(
-                    ubar_stp[IN, gh], ubar_stp[IN, in1], u[IN, in1],
-                    u[IN, in2], grad_col(gh), grad_col(in1),
-                    gpm, dtf, cfg, ub_ext, z_new[IN, inr], z_ext, gpm)
-                u = eset(u, (IN, gh), _apply_mask(val, um, IN, gh), own)
+                    ubar_stp[INY, gh], ubar_stp[INY, in1], u[INY, in1],
+                    u[INY, in2], grad_col(gh), grad_col(in1),
+                    gpm, dtf, cfg, ub_ext, z_new[INY, inr], z_ext, gpm)
+                val = _trim_hi(_apply_mask(val, um, INY, gh), u[INY, gh],
+                               grid.own_n, ay.pad)
+                u = eset(u, (INY, gh), val, own)
             else:  # specified / gradient
-                val = ub_ext if cfg.obc_m2 == "specified" else u[IN, in1]
-                u = eset(u, (IN, gh), _apply_mask(val, um, IN, gh), own)
+                val = ub_ext if cfg.obc_m2 == "specified" else u[INY, in1]
+                val = _trim_hi(_apply_mask(val, um, INY, gh), u[INY, gh],
+                               grid.own_n, ay.pad)
+                u = eset(u, (INY, gh), val, own)
 
     # ---- South/North: tangential component ---------------------------------
     # Orlanski-2D advective form whenever the edge is open and the scheme is
@@ -264,22 +333,22 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
             own = grid.own_n if north else grid.own_s
-            gh, in1 = ((-2, -3) if north else (1, 2))
+            gh, in1 = ((ay.gh, ay.in1) if north else (1, 2))
             if not open_edge:
                 mfac = um[gh, :] if um is not None else 1.0
                 u = eset(u, (Ellipsis, gh, slice(None)),
                          g2 * u[..., in1, :] * mfac, own)
                 continue
-            II = INW            # istrU-1..iend (see _trim_lo)
-            IW = IWW            # i-1
+            II = ax.INW         # istrU-1..iend (see _trim_lo)
+            IW = ax.IWW         # i-1
             ub_ext = _bry(bry, "ubar_north" if north else "ubar_south", II)
             if cfg.obc_m2 in ("flather", "orlanski"):
                 # grads along i at rows gh, in1 for i = istrU-2..iend
                 def grad_row(r):
-                    return ubar_stp[r, GRW] - ubar_stp[r, GLW]
+                    return ubar_stp[r, ax.GRW] - ubar_stp[r, ax.GLW]
                 g_gh, g_in = grad_row(gh), grad_row(in1)
                 sgn = 1.0 if north else -1.0
-                vrow = -2 if north else 2  # vbar(jend+1) / vbar(jstr)
+                vrow = ay.gh if north else 2  # vbar(jend+1) / vbar(jstr)
                 cx = sgn * 0.125 * dtf * (vbar_stp[vrow, II]
                                           + vbar_stp[vrow, IW]) \
                     * (grid.pn[gh, II] + grid.pn[gh, IW]
@@ -299,11 +368,13 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
                     val = (1.0 - cext) * val + cext * ub_ext
                 val = _trim_lo(_apply_mask(val, um, gh, II), u[gh, II],
                                grid.own_w)
+                val = _trim_hi(val, u[gh, II], grid.own_e, ax.pad)
                 u = eset(u, (gh, II), val, own)
             else:  # specified / gradient
                 val = ub_ext if cfg.obc_m2 == "specified" else u[in1, II]
                 val = _trim_lo(_apply_mask(val, um, gh, II), u[gh, II],
                                grid.own_w)
+                val = _trim_hi(val, u[gh, II], grid.own_e, ax.pad)
                 u = eset(u, (gh, II), val, own)
 
     # ---- open-open corners (reference: u2dbc_im.F:455-478) ----------------
@@ -312,35 +383,39 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
 
 
 def _uv_corners_u(u, cfg: ModelConfig, grid):
+    ax, ay = _axes_of(cfg)
+    eg, ei, ng, ni = ax.gh, ax.in1, ay.gh, ay.in1
     if cfg.obc_south and cfg.obc_west:
         u = eset(u, (Ellipsis, 1, 2), 0.5 * (u[..., 1, 3] + u[..., 2, 2]),
                  band(grid.own_s, grid.own_w))
     if cfg.obc_south and cfg.obc_east:
-        u = eset(u, (Ellipsis, 1, -2), 0.5 * (u[..., 1, -3] + u[..., 2, -2]),
+        u = eset(u, (Ellipsis, 1, eg), 0.5 * (u[..., 1, ei] + u[..., 2, eg]),
                  band(grid.own_s, grid.own_e))
     if cfg.obc_north and cfg.obc_west:
-        u = eset(u, (Ellipsis, -2, 2), 0.5 * (u[..., -2, 3] + u[..., -3, 2]),
+        u = eset(u, (Ellipsis, ng, 2), 0.5 * (u[..., ng, 3] + u[..., ni, 2]),
                  band(grid.own_n, grid.own_w))
     if cfg.obc_north and cfg.obc_east:
-        u = eset(u, (Ellipsis, -2, -2),
-                 0.5 * (u[..., -2, -3] + u[..., -3, -2]),
+        u = eset(u, (Ellipsis, ng, eg),
+                 0.5 * (u[..., ng, ei] + u[..., ni, eg]),
                  band(grid.own_n, grid.own_e))
     return u
 
 
 def _uv_corners_v(v, cfg: ModelConfig, grid):
+    ax, ay = _axes_of(cfg)
+    eg, ei, ng, ni = ax.gh, ax.in1, ay.gh, ay.in1
     if cfg.obc_south and cfg.obc_west:
         v = eset(v, (Ellipsis, 2, 1), 0.5 * (v[..., 3, 1] + v[..., 2, 2]),
                  band(grid.own_s, grid.own_w))
     if cfg.obc_south and cfg.obc_east:
-        v = eset(v, (Ellipsis, 2, -2), 0.5 * (v[..., 3, -2] + v[..., 2, -3]),
+        v = eset(v, (Ellipsis, 2, eg), 0.5 * (v[..., 3, eg] + v[..., 2, ei]),
                  band(grid.own_s, grid.own_e))
     if cfg.obc_north and cfg.obc_west:
-        v = eset(v, (Ellipsis, -2, 1), 0.5 * (v[..., -3, 1] + v[..., -2, 2]),
+        v = eset(v, (Ellipsis, ng, 1), 0.5 * (v[..., ni, 1] + v[..., ng, 2]),
                  band(grid.own_n, grid.own_w))
     if cfg.obc_north and cfg.obc_east:
-        v = eset(v, (Ellipsis, -2, -2),
-                 0.5 * (v[..., -3, -2] + v[..., -2, -3]),
+        v = eset(v, (Ellipsis, ng, eg),
+                 0.5 * (v[..., ni, eg] + v[..., ng, ei]),
                  band(grid.own_n, grid.own_e))
     return v
 
@@ -355,66 +430,74 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
     pmk = grid.pmask if cfg.masking else None
     g, dtf = cfg.g, cfg.dtfast
     g2 = cfg.gamma2
+    ax, ay = _axes_of(cfg)
+    INY, INX = ay.IN, ax.IN
 
     # ---- South/North: normal component ------------------------------------
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
             own = grid.own_n if north else grid.own_s
-            gh, in1, in2 = ((-2, -3, -4) if north else (2, 3, 4))
-            ghr, inr = ((-2, -3) if north else (1, 2))
+            gh, in1, in2 = ((ay.gh, ay.in1, ay.in2) if north else (2, 3, 4))
+            ghr, inr = ((ay.gh, ay.in1) if north else (1, 2))
             sgn = 1.0 if north else -1.0
             if not open_edge:
                 v = eset(v, (Ellipsis, gh, slice(None)), 0.0 * v[..., gh, :],
                          own)
                 continue
-            vb_ext = _bry(bry, "vbar_north" if north else "vbar_south", IN)
-            z_ext = _bry(bry, "zeta_north" if north else "zeta_south", IN)
+            vb_ext = _bry(bry, "vbar_north" if north else "vbar_south", INX)
+            z_ext = _bry(bry, "zeta_north" if north else "zeta_south", INX)
             if cfg.obc_m2 == "flather":
-                cff = 0.5 * (grid.h[ghr, IN] + grid.h[inr, IN])
+                cff = 0.5 * (grid.h[ghr, INX] + grid.h[inr, INX])
                 hx = jnp.sqrt(g / cff)
-                cx = dtf * cff * hx * 0.5 * (grid.pn[ghr, IN]
-                                             + grid.pn[inr, IN])
-                zx = _flather_zx(z_stp[inr, IN], z_stp[ghr, IN],
-                                 z_new[inr, IN], cx)
-                val = 0.5 * ((1.0 - cx) * vbar_stp[gh, IN]
-                             + cx * vbar_stp[in1, IN]
+                cx = dtf * cff * hx * 0.5 * (grid.pn[ghr, INX]
+                                             + grid.pn[inr, INX])
+                zx = _flather_zx(z_stp[inr, INX], z_stp[ghr, INX],
+                                 z_new[inr, INX], cx)
+                val = 0.5 * ((1.0 - cx) * vbar_stp[gh, INX]
+                             + cx * vbar_stp[in1, INX]
                              + vb_ext + sgn * hx * (zx - z_ext))
-                v = eset(v, (gh, IN), _apply_mask(val, vm, gh, IN), own)
+                val = _trim_hi(_apply_mask(val, vm, gh, INX), v[gh, INX],
+                               grid.own_e, ax.pad)
+                v = eset(v, (gh, INX), val, own)
             elif cfg.obc_m2 == "orlanski":
                 def grad_row(r):
-                    grow = vbar_stp[r, GR] - vbar_stp[r, slice(1, -2)]
-                    return grow * pmk[r, GR] if pmk is not None else grow
-                gpn = 0.5 * (grid.pn[ghr, IN] + grid.pn[inr, IN])
+                    grow = vbar_stp[r, ax.GR] - vbar_stp[r, ax.GL]
+                    return grow * pmk[r, ax.GR] if pmk is not None else grow
+                gpn = 0.5 * (grid.pn[ghr, INX] + grid.pn[inr, INX])
                 val = _orl2d_normal(
-                    vbar_stp[gh, IN], vbar_stp[in1, IN], v[in1, IN],
-                    v[in2, IN], grad_row(gh), grad_row(in1),
-                    gpn, dtf, cfg, vb_ext, z_new[inr, IN], z_ext, gpn)
-                v = eset(v, (gh, IN), _apply_mask(val, vm, gh, IN), own)
+                    vbar_stp[gh, INX], vbar_stp[in1, INX], v[in1, INX],
+                    v[in2, INX], grad_row(gh), grad_row(in1),
+                    gpn, dtf, cfg, vb_ext, z_new[inr, INX], z_ext, gpn)
+                val = _trim_hi(_apply_mask(val, vm, gh, INX), v[gh, INX],
+                               grid.own_e, ax.pad)
+                v = eset(v, (gh, INX), val, own)
             else:
-                val = vb_ext if cfg.obc_m2 == "specified" else v[in1, IN]
-                v = eset(v, (gh, IN), _apply_mask(val, vm, gh, IN), own)
+                val = vb_ext if cfg.obc_m2 == "specified" else v[in1, INX]
+                val = _trim_hi(_apply_mask(val, vm, gh, INX), v[gh, INX],
+                               grid.own_e, ax.pad)
+                v = eset(v, (gh, INX), val, own)
 
     # ---- West/East: tangential component -----------------------------------
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
             own = grid.own_e if east else grid.own_w
-            gh, in1 = ((-2, -3) if east else (1, 2))
+            gh, in1 = ((ax.gh, ax.in1) if east else (1, 2))
             if not open_edge:
                 mfac = vm[:, gh] if vm is not None else 1.0
                 v = eset(v, (Ellipsis, slice(None), gh),
                          g2 * v[..., :, in1] * mfac, own)
                 continue
-            JJ = INW            # jstrV-1..jend (see _trim_lo)
-            JS = IWW            # j-1
+            JJ = ay.INW         # jstrV-1..jend (see _trim_lo)
+            JS = ay.IWW         # j-1
             vb_ext = _bry(bry, "vbar_east" if east else "vbar_west", JJ)
             if cfg.obc_m2 in ("flather", "orlanski"):
                 def grad_col(c):
-                    return vbar_stp[GRW, c] - vbar_stp[GLW, c]
+                    return vbar_stp[ay.GRW, c] - vbar_stp[ay.GLW, c]
                 g_gh, g_in = grad_col(gh), grad_col(in1)
                 sgn = 1.0 if east else -1.0
-                ucol = -2 if east else 2  # ubar(iend+1) / ubar(istr)
+                ucol = ax.gh if east else 2  # ubar(iend+1) / ubar(istr)
                 cx = sgn * 0.125 * dtf * (ubar_stp[JJ, ucol]
                                           + ubar_stp[JS, ucol]) \
                     * (grid.pm[JJ, gh] + grid.pm[JS, gh]
@@ -434,11 +517,13 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
                     val = (1.0 - cext) * val + cext * vb_ext
                 val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[JJ, gh],
                                grid.own_s)
+                val = _trim_hi(val, v[JJ, gh], grid.own_n, ay.pad)
                 v = eset(v, (JJ, gh), val, own)
             else:
                 val = vb_ext if cfg.obc_m2 == "specified" else v[JJ, in1]
                 val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[JJ, gh],
                                grid.own_s)
+                val = _trim_hi(val, v[JJ, gh], grid.own_n, ay.pad)
                 v = eset(v, (JJ, gh), val, own)
 
     v = _uv_corners_v(v, cfg, grid)
@@ -499,55 +584,59 @@ def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
     um = _mask(grid, "umask", cfg)
     pmk = grid.pmask if cfg.masking else None
     g2 = cfg.gamma2
+    ax, ay = _axes_of(cfg)
+    INY = ay.IN
 
     # ---- West/East: normal Orlanski ----------------------------------------
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
             own = grid.own_e if east else grid.own_w
-            gh, in1, in2 = ((-2, -3, -4) if east else (2, 3, 4))
-            ghr, inr = ((-2, -3) if east else (1, 2))
+            gh, in1, in2 = ((ax.gh, ax.in1, ax.in2) if east else (2, 3, 4))
+            ghr, inr = ((ax.gh, ax.in1) if east else (1, 2))
             if not open_edge:
                 u = eset(u, (Ellipsis, slice(None), gh), 0.0 * u[..., :, gh],
                          own)
                 continue
-            u_ext = _bry(bry, "u_east" if east else "u_west", IN)
+            u_ext = _bry(bry, "u_east" if east else "u_west", INY)
             if cfg.obc_m3 == "orlanski":
                 def grad_col(c):
-                    gcol = u_stp[:, GR, c] - u_stp[:, slice(1, -2), c]
-                    return gcol * pmk[GR, c] if pmk is not None else gcol
-                gpm = 0.5 * (grid.pm[IN, ghr] + grid.pm[IN, inr])
+                    gcol = u_stp[:, ay.GR, c] - u_stp[:, ay.GL, c]
+                    return gcol * pmk[ay.GR, c] if pmk is not None else gcol
+                gpm = 0.5 * (grid.pm[INY, ghr] + grid.pm[INY, inr])
                 inflow_speed = (-u_ext if east else u_ext) \
                     if cfg.frc_bry else 0.0
                 val = _orl3d_normal(
-                    u_stp[:, IN, gh], u_stp[:, IN, in1], u[:, IN, in1],
-                    u[:, IN, in2], grad_col(gh), grad_col(in1),
+                    u_stp[:, INY, gh], u_stp[:, INY, in1], u[:, INY, in1],
+                    u[:, INY, in2], grad_col(gh), grad_col(in1),
                     gpm, dtfwd, cfg, u_ext, inflow_speed)
-                u = eset(u, (slice(None), IN, gh),
-                         _apply_mask(val, um, IN, gh), own)
+                val = _trim_hi(_apply_mask(val, um, INY, gh), u[:, INY, gh],
+                               grid.own_n, ay.pad)
+                u = eset(u, (slice(None), INY, gh), val, own)
             else:
-                val = u_ext if cfg.obc_m3 == "specified" else u[:, IN, in1]
-                u = eset(u, (slice(None), IN, gh),
-                         _apply_mask(val, um, IN, gh), own)
+                val = u_ext if cfg.obc_m3 == "specified" else u[:, INY, in1]
+                val = _trim_hi(_apply_mask(val, um, INY, gh), u[:, INY, gh],
+                               grid.own_n, ay.pad)
+                u = eset(u, (slice(None), INY, gh), val, own)
 
     # ---- South/North: tangential advective ---------------------------------
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
             own = grid.own_n if north else grid.own_s
-            gh, in1 = ((-2, -3) if north else (1, 2))
-            vrow = -2 if north else 2  # v(jend+1) / v(jstr)
+            gh, in1 = ((ay.gh, ay.in1) if north else (1, 2))
+            vrow = ay.gh if north else 2  # v(jend+1) / v(jstr)
             if not open_edge:
                 mfac = um[gh, :] if um is not None else 1.0
                 u = eset(u, (Ellipsis, gh, slice(None)),
                          g2 * u[..., in1, :] * mfac, own)
                 continue
-            II = INW
-            IW = IWW
+            II = ax.INW
+            IW = ax.IWW
             u_ext = _bry(bry, "u_north" if north else "u_south", II)
             if cfg.obc_m3 == "orlanski":
                 def grad_row(r):
-                    return u_stp[:, r, GRW] - u_stp[:, r, GLW]
+                    return u_stp[:, r, ax.GRW] - u_stp[:, r, ax.GLW]
                 g_gh, g_in = grad_row(gh), grad_row(in1)
                 sgn = 1.0 if north else -1.0
                 cx = sgn * 0.125 * dtfwd * (v_rhs[:, vrow, II]
@@ -569,11 +658,13 @@ def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                     val = (1.0 - cext) * val + cext * u_ext
                 val = _trim_lo(_apply_mask(val, um, gh, II), u[:, gh, II],
                                grid.own_w)
+                val = _trim_hi(val, u[:, gh, II], grid.own_e, ax.pad)
                 u = eset(u, (slice(None), gh, II), val, own)
             else:
                 val = u_ext if cfg.obc_m3 == "specified" else u[:, in1, II]
                 val = _trim_lo(_apply_mask(val, um, gh, II), u[:, gh, II],
                                grid.own_w)
+                val = _trim_hi(val, u[:, gh, II], grid.own_e, ax.pad)
                 u = eset(u, (slice(None), gh, II), val, own)
 
     u = _uv_corners_u(u, cfg, grid)
@@ -590,55 +681,59 @@ def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
     vm = _mask(grid, "vmask", cfg)
     pmk = grid.pmask if cfg.masking else None
     g2 = cfg.gamma2
+    ax, ay = _axes_of(cfg)
+    INX = ax.IN
 
     # ---- South/North: normal Orlanski --------------------------------------
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
             own = grid.own_n if north else grid.own_s
-            gh, in1, in2 = ((-2, -3, -4) if north else (2, 3, 4))
-            ghr, inr = ((-2, -3) if north else (1, 2))
+            gh, in1, in2 = ((ay.gh, ay.in1, ay.in2) if north else (2, 3, 4))
+            ghr, inr = ((ay.gh, ay.in1) if north else (1, 2))
             if not open_edge:
                 v = eset(v, (Ellipsis, gh, slice(None)), 0.0 * v[..., gh, :],
                          own)
                 continue
-            v_ext = _bry(bry, "v_north" if north else "v_south", IN)
+            v_ext = _bry(bry, "v_north" if north else "v_south", INX)
             if cfg.obc_m3 == "orlanski":
                 def grad_row(r):
-                    grow = v_stp[:, r, GR] - v_stp[:, r, slice(1, -2)]
-                    return grow * pmk[r, GR] if pmk is not None else grow
-                gpn = 0.5 * (grid.pn[ghr, IN] + grid.pn[inr, IN])
+                    grow = v_stp[:, r, ax.GR] - v_stp[:, r, ax.GL]
+                    return grow * pmk[r, ax.GR] if pmk is not None else grow
+                gpn = 0.5 * (grid.pn[ghr, INX] + grid.pn[inr, INX])
                 inflow_speed = (-v_ext if north else v_ext) \
                     if cfg.frc_bry else 0.0
                 val = _orl3d_normal(
-                    v_stp[:, gh, IN], v_stp[:, in1, IN], v[:, in1, IN],
-                    v[:, in2, IN], grad_row(gh), grad_row(in1),
+                    v_stp[:, gh, INX], v_stp[:, in1, INX], v[:, in1, INX],
+                    v[:, in2, INX], grad_row(gh), grad_row(in1),
                     gpn, dtfwd, cfg, v_ext, inflow_speed)
-                v = eset(v, (slice(None), gh, IN),
-                         _apply_mask(val, vm, gh, IN), own)
+                val = _trim_hi(_apply_mask(val, vm, gh, INX), v[:, gh, INX],
+                               grid.own_e, ax.pad)
+                v = eset(v, (slice(None), gh, INX), val, own)
             else:
-                val = v_ext if cfg.obc_m3 == "specified" else v[:, in1, IN]
-                v = eset(v, (slice(None), gh, IN),
-                         _apply_mask(val, vm, gh, IN), own)
+                val = v_ext if cfg.obc_m3 == "specified" else v[:, in1, INX]
+                val = _trim_hi(_apply_mask(val, vm, gh, INX), v[:, gh, INX],
+                               grid.own_e, ax.pad)
+                v = eset(v, (slice(None), gh, INX), val, own)
 
     # ---- West/East: tangential advective -----------------------------------
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
             own = grid.own_e if east else grid.own_w
-            gh, in1 = ((-2, -3) if east else (1, 2))
-            ucol = -2 if east else 2
+            gh, in1 = ((ax.gh, ax.in1) if east else (1, 2))
+            ucol = ax.gh if east else 2
             if not open_edge:
                 mfac = vm[:, gh] if vm is not None else 1.0
                 v = eset(v, (Ellipsis, slice(None), gh),
                          g2 * v[..., :, in1] * mfac, own)
                 continue
-            JJ = INW
-            JS = IWW
+            JJ = ay.INW
+            JS = ay.IWW
             v_ext = _bry(bry, "v_east" if east else "v_west", JJ)
             if cfg.obc_m3 == "orlanski":
                 def grad_col(c):
-                    return v_stp[:, GRW, c] - v_stp[:, GLW, c]
+                    return v_stp[:, ay.GRW, c] - v_stp[:, ay.GLW, c]
                 g_gh, g_in = grad_col(gh), grad_col(in1)
                 sgn = 1.0 if east else -1.0
                 cx = sgn * 0.125 * dtfwd * (u_rhs[:, JJ, ucol]
@@ -660,11 +755,13 @@ def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                     val = (1.0 - cext) * val + cext * v_ext
                 val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[:, JJ, gh],
                                grid.own_s)
+                val = _trim_hi(val, v[:, JJ, gh], grid.own_n, ay.pad)
                 v = eset(v, (slice(None), JJ, gh), val, own)
             else:
                 val = v_ext if cfg.obc_m3 == "specified" else v[:, JJ, in1]
                 val = _trim_lo(_apply_mask(val, vm, JJ, gh), v[:, JJ, gh],
                                grid.own_s)
+                val = _trim_hi(val, v[:, JJ, gh], grid.own_n, ay.pad)
                 v = eset(v, (slice(None), JJ, gh), val, own)
 
     v = _uv_corners_v(v, cfg, grid)
@@ -694,33 +791,35 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
     vm = _mask(grid, "vmask", cfg)
     um = _mask(grid, "umask", cfg)
     orl = cfg.obc_t == "orlanski"
+    ax, ay = _axes_of(cfg)
+    INY, INX = ay.IN, ax.IN
 
     if not cfg.ew_periodic:
         for east in (False, True):
             open_edge = cfg.obc_east if east else cfg.obc_west
             own = grid.own_e if east else grid.own_w
-            gh, in1 = ((-2, -3) if east else (1, 2))
-            ucol = -2 if east else 2
-            t_ext = _bry(bry, "t_east" if east else "t_west", IN)
+            gh, in1 = ((ax.gh, ax.in1) if east else (1, 2))
+            ucol = ax.gh if east else 2
+            t_ext = _bry(bry, "t_east" if east else "t_west", INY)
             if not open_edge:
                 t = eset(t, (Ellipsis, slice(None), gh),
                          t[..., :, in1] * m[:, gh], own)
                 continue
             if orl:
                 def grad_col(c):
-                    gcol = t_stp[..., GR, c] - t_stp[..., slice(1, -2), c]
-                    return gcol * vm[GR, c] if vm is not None else gcol
+                    gcol = t_stp[..., ay.GR, c] - t_stp[..., ay.GL, c]
+                    return gcol * vm[ay.GR, c] if vm is not None else gcol
                 g_gh, g_in = grad_col(gh), grad_col(in1)
                 sgn = 1.0 if east else -1.0
-                cx = sgn * dtfwd * u_rhs[:, IN, ucol] * grid.pm[IN, gh]
-                cy = 0.5 * dtfwd * (v_rhs[:, slice(2, -2), gh]
-                                    + v_rhs[:, slice(3, -1), gh]) \
-                    * grid.pn[IN, gh]
+                cx = sgn * dtfwd * u_rhs[:, INY, ucol] * grid.pm[INY, gh]
+                cy = 0.5 * dtfwd * (v_rhs[:, ay.IN, gh]
+                                    + v_rhs[:, ay.IN1, gh]) \
+                    * grid.pn[INY, gh]
                 cext = jnp.where(cx > 0.0, 0.0, -cx)
                 cx = jnp.maximum(cx, 0.0)
                 # donor level: nstp on west, nnew on east (see docstring)
-                don = t[..., IN, in1] if east else t_stp[..., IN, in1]
-                val = ((1.0 - cx) * (t_stp[..., IN, gh]
+                don = t[..., INY, in1] if east else t_stp[..., INY, in1]
+                val = ((1.0 - cx) * (t_stp[..., INY, gh]
                                      - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
                                      - jnp.minimum(cy, 0.0) * g_gh[..., 1:])
                        + cx * (don
@@ -728,36 +827,40 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                                - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * t_ext
-                t = eset(t, (Ellipsis, IN, gh), val * m[IN, gh], own)
+                val = _trim_hi(val * m[INY, gh], t[..., INY, gh],
+                               grid.own_n, ay.pad)
+                t = eset(t, (Ellipsis, INY, gh), val, own)
             else:  # specified
-                val = t_ext if cfg.frc_bry else t[..., IN, in1]
-                t = eset(t, (Ellipsis, IN, gh), val * m[IN, gh], own)
+                val = t_ext if cfg.frc_bry else t[..., INY, in1]
+                val = _trim_hi(val * m[INY, gh], t[..., INY, gh],
+                               grid.own_n, ay.pad)
+                t = eset(t, (Ellipsis, INY, gh), val, own)
 
     if not cfg.ns_periodic:
         for north in (False, True):
             open_edge = cfg.obc_north if north else cfg.obc_south
             own = grid.own_n if north else grid.own_s
-            gh, in1 = ((-2, -3) if north else (1, 2))
-            vrow = -2 if north else 2
-            t_ext = _bry(bry, "t_north" if north else "t_south", IN)
+            gh, in1 = ((ay.gh, ay.in1) if north else (1, 2))
+            vrow = ay.gh if north else 2
+            t_ext = _bry(bry, "t_north" if north else "t_south", INX)
             if not open_edge:
                 t = eset(t, (Ellipsis, gh, slice(None)),
                          t[..., in1, :] * m[gh, :], own)
                 continue
             if orl:
                 def grad_row(r):
-                    grow = t_stp[..., r, GR] - t_stp[..., r, slice(1, -2)]
-                    return grow * um[r, GR] if um is not None else grow
+                    grow = t_stp[..., r, ax.GR] - t_stp[..., r, ax.GL]
+                    return grow * um[r, ax.GR] if um is not None else grow
                 g_gh, g_in = grad_row(gh), grad_row(in1)
                 sgn = 1.0 if north else -1.0
-                cx = sgn * dtfwd * v_rhs[:, vrow, IN] * grid.pn[gh, IN]
-                cy = 0.5 * dtfwd * (u_rhs[:, gh, slice(2, -2)]
-                                    + u_rhs[:, gh, slice(3, -1)]) \
-                    * grid.pm[gh, IN]
+                cx = sgn * dtfwd * v_rhs[:, vrow, INX] * grid.pn[gh, INX]
+                cy = 0.5 * dtfwd * (u_rhs[:, gh, ax.IN]
+                                    + u_rhs[:, gh, ax.IN1]) \
+                    * grid.pm[gh, INX]
                 cext = jnp.where(cx > 0.0, 0.0, -cx)
                 cx = jnp.maximum(cx, 0.0)
-                don = t[..., in1, IN] if north else t_stp[..., in1, IN]
-                val = ((1.0 - cx) * (t_stp[..., gh, IN]
+                don = t[..., in1, INX] if north else t_stp[..., in1, INX]
+                val = ((1.0 - cx) * (t_stp[..., gh, INX]
                                      - jnp.maximum(cy, 0.0) * g_gh[..., :-1]
                                      - jnp.minimum(cy, 0.0) * g_gh[..., 1:])
                        + cx * (don
@@ -765,10 +868,14 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                                - jnp.minimum(cy, 0.0) * g_in[..., 1:]))
                 if cfg.frc_bry:
                     val = (1.0 - cext) * val + cext * t_ext
-                t = eset(t, (Ellipsis, gh, IN), val * m[gh, IN], own)
+                val = _trim_hi(val * m[gh, INX], t[..., gh, INX],
+                               grid.own_e, ax.pad)
+                t = eset(t, (Ellipsis, gh, INX), val, own)
             else:
-                val = t_ext if cfg.frc_bry else t[..., in1, IN]
-                t = eset(t, (Ellipsis, gh, IN), val * m[gh, IN], own)
+                val = t_ext if cfg.frc_bry else t[..., in1, INX]
+                val = _trim_hi(val * m[gh, INX], t[..., gh, INX],
+                               grid.own_e, ax.pad)
+                t = eset(t, (Ellipsis, gh, INX), val, own)
 
     if not cfg.ew_periodic and not cfg.ns_periodic:
         # masked corner averages (reference: t3dbc_im.F:315-420)
@@ -781,10 +888,11 @@ def t3dbc(t_new, t_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                             t[..., jc, ic])
             return eset(t, (Ellipsis, jc, ic), avg, own)
 
+        eg, ei, ng, ni = ax.gh, ax.in1, ay.gh, ay.in1
         t = corner(t, 1, 1, 1, 2, 2, 1, band(grid.own_s, grid.own_w))
-        t = corner(t, 1, -2, 1, -3, 2, -2, band(grid.own_s, grid.own_e))
-        t = corner(t, -2, 1, -2, 2, -3, 1, band(grid.own_n, grid.own_w))
-        t = corner(t, -2, -2, -2, -3, -3, -2, band(grid.own_n, grid.own_e))
+        t = corner(t, 1, eg, 1, ei, 2, eg, band(grid.own_s, grid.own_e))
+        t = corner(t, ng, 1, ng, 2, ni, 1, band(grid.own_n, grid.own_w))
+        t = corner(t, ng, eg, ng, ei, ni, eg, band(grid.own_n, grid.own_e))
     return t
 
 
@@ -798,21 +906,23 @@ def u_momentum_bc(u, grid, cfg: ModelConfig):
         return u
     g2 = cfg.gamma2
     um = grid.umask
+    ax, ay = _axes_of(cfg)
     if not cfg.ew_periodic:
         if not cfg.obc_west:
             u = eset(u, (Ellipsis, slice(None), 2), 0.0 * u[..., :, 2],
                      grid.own_w)
         if not cfg.obc_east:
-            u = eset(u, (Ellipsis, slice(None), -2), 0.0 * u[..., :, -2],
-                     grid.own_e)
+            u = eset(u, (Ellipsis, slice(None), ax.gh),
+                     0.0 * u[..., :, ax.gh], grid.own_e)
     if not cfg.ns_periodic:
         if not cfg.obc_south:
             u = eset(u, (Ellipsis, 1, slice(None)),
                      g2 * u[..., 2, :] * (um[1, :] if cfg.masking else 1.0),
                      grid.own_s)
         if not cfg.obc_north:
-            u = eset(u, (Ellipsis, -2, slice(None)),
-                     g2 * u[..., -3, :] * (um[-2, :] if cfg.masking else 1.0),
+            u = eset(u, (Ellipsis, ay.gh, slice(None)),
+                     g2 * u[..., ay.in1, :]
+                     * (um[ay.gh, :] if cfg.masking else 1.0),
                      grid.own_n)
     return u
 
@@ -822,20 +932,22 @@ def v_momentum_bc(v, grid, cfg: ModelConfig):
         return v
     g2 = cfg.gamma2
     vm = grid.vmask
+    ax, ay = _axes_of(cfg)
     if not cfg.ns_periodic:
         if not cfg.obc_south:
             v = eset(v, (Ellipsis, 2, slice(None)), 0.0 * v[..., 2, :],
                      grid.own_s)
         if not cfg.obc_north:
-            v = eset(v, (Ellipsis, -2, slice(None)), 0.0 * v[..., -2, :],
-                     grid.own_n)
+            v = eset(v, (Ellipsis, ay.gh, slice(None)),
+                     0.0 * v[..., ay.gh, :], grid.own_n)
     if not cfg.ew_periodic:
         if not cfg.obc_west:
             v = eset(v, (Ellipsis, slice(None), 1),
                      g2 * v[..., :, 2] * (vm[:, 1] if cfg.masking else 1.0),
                      grid.own_w)
         if not cfg.obc_east:
-            v = eset(v, (Ellipsis, slice(None), -2),
-                     g2 * v[..., :, -3] * (vm[:, -2] if cfg.masking else 1.0),
+            v = eset(v, (Ellipsis, slice(None), ax.gh),
+                     g2 * v[..., :, ax.in1]
+                     * (vm[:, ax.gh] if cfg.masking else 1.0),
                      grid.own_e)
     return v

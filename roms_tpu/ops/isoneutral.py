@@ -264,19 +264,22 @@ def _lap_bc(lap, grid, cfg: ModelConfig):
     """Ghost values of the intermediate Laplacian
     (reference: step3d_t_ISO.F:521-570): 0 at walls, gradient at OBC."""
     from roms_tpu.parallel.halo import eset
+    pe, pn = cfg.pad_e, cfg.pad_n
     if not cfg.ew_periodic:
         lap = eset(lap, (Ellipsis, slice(None), 1),
                    lap[..., :, 2] if cfg.obc_west else 0.0 * lap[..., :, 1],
                    grid.own_w)
-        lap = eset(lap, (Ellipsis, slice(None), -2),
-                   lap[..., :, -3] if cfg.obc_east else 0.0 * lap[..., :, -2],
+        lap = eset(lap, (Ellipsis, slice(None), -2 - pe),
+                   lap[..., :, -3 - pe] if cfg.obc_east
+                   else 0.0 * lap[..., :, -2 - pe],
                    grid.own_e)
     if not cfg.ns_periodic:
         lap = eset(lap, (Ellipsis, 1, slice(None)),
                    lap[..., 2, :] if cfg.obc_south else 0.0 * lap[..., 1, :],
                    grid.own_s)
-        lap = eset(lap, (Ellipsis, -2, slice(None)),
-                   lap[..., -3, :] if cfg.obc_north else 0.0 * lap[..., -2, :],
+        lap = eset(lap, (Ellipsis, -2 - pn, slice(None)),
+                   lap[..., -3 - pn, :] if cfg.obc_north
+                   else 0.0 * lap[..., -2 - pn, :],
                    grid.own_n)
     return lap
 

@@ -145,25 +145,28 @@ def omega(flx_u, flx_v, z_w, hz, swflx, grid, dtau: float,
     if cfg is not None and not cfg.fully_periodic:
         from roms_tpu.parallel.halo import band, eset
 
+        pe, pn = cfg.pad_e, cfg.pad_n
+
         def edge_copy(a):
             if not cfg.ew_periodic:
                 a = eset(a, (Ellipsis, slice(None), 1), a[..., :, 2],
                          grid.own_w)
-                a = eset(a, (Ellipsis, slice(None), -2), a[..., :, -3],
-                         grid.own_e)
+                a = eset(a, (Ellipsis, slice(None), -2 - pe),
+                         a[..., :, -3 - pe], grid.own_e)
             if not cfg.ns_periodic:
                 a = eset(a, (Ellipsis, 1, slice(None)), a[..., 2, :],
                          grid.own_s)
-                a = eset(a, (Ellipsis, -2, slice(None)), a[..., -3, :],
-                         grid.own_n)
+                a = eset(a, (Ellipsis, -2 - pn, slice(None)),
+                         a[..., -3 - pn, :], grid.own_n)
             if not cfg.ew_periodic and not cfg.ns_periodic:
                 a = eset(a, (Ellipsis, 1, 1), a[..., 2, 2],
                          band(grid.own_s, grid.own_w))
-                a = eset(a, (Ellipsis, 1, -2), a[..., 2, -3],
+                a = eset(a, (Ellipsis, 1, -2 - pe), a[..., 2, -3 - pe],
                          band(grid.own_s, grid.own_e))
-                a = eset(a, (Ellipsis, -2, 1), a[..., -3, 2],
+                a = eset(a, (Ellipsis, -2 - pn, 1), a[..., -3 - pn, 2],
                          band(grid.own_n, grid.own_w))
-                a = eset(a, (Ellipsis, -2, -2), a[..., -3, -3],
+                a = eset(a, (Ellipsis, -2 - pn, -2 - pe),
+                         a[..., -3 - pn, -3 - pe],
                          band(grid.own_n, grid.own_e))
             return a
 

@@ -132,12 +132,13 @@ def _fill_phys_edges_2d(a, cfg: ModelConfig, grid=None):
     ow = oe = os_ = on = None
     if grid is not None:
         ow, oe, os_, on = grid.own_w, grid.own_e, grid.own_s, grid.own_n
+    pe, pn = cfg.pad_e, cfg.pad_n
     if not cfg.ew_periodic:
         a = eset(a, (Ellipsis, slice(None), 1), a[..., :, 2], ow)
-        a = eset(a, (Ellipsis, slice(None), -2), a[..., :, -3], oe)
+        a = eset(a, (Ellipsis, slice(None), -2 - pe), a[..., :, -3 - pe], oe)
     if not cfg.ns_periodic:
         a = eset(a, (Ellipsis, 1, slice(None)), a[..., 2, :], os_)
-        a = eset(a, (Ellipsis, -2, slice(None)), a[..., -3, :], on)
+        a = eset(a, (Ellipsis, -2 - pn, slice(None)), a[..., -3 - pn, :], on)
     return a
 
 

@@ -111,24 +111,25 @@ def prsgrd(rho, rho1, qp1, z_r, z_w, hz, grid, cfg: ModelConfig, ptide=None):
         # extrapolate elementary differences near physical boundaries
         # (reference: prsgrd.F:256-269, :369-382)
         from roms_tpu.parallel.halo import eset
+        pe, pn = cfg.pad_e, cfg.pad_n
         if ax == 1 and not cfg.ew_periodic:
             FC = eset(FC, (Ellipsis, slice(None), 2), FC[..., :, 3],
                       grid.own_w)
-            FC = eset(FC, (Ellipsis, slice(None), -2), FC[..., :, -3],
-                      grid.own_e)
+            FC = eset(FC, (Ellipsis, slice(None), -2 - pe),
+                      FC[..., :, -3 - pe], grid.own_e)
             rx = eset(rx, (Ellipsis, slice(None), 2), rx[..., :, 3],
                       grid.own_w)
-            rx = eset(rx, (Ellipsis, slice(None), -2), rx[..., :, -3],
-                      grid.own_e)
+            rx = eset(rx, (Ellipsis, slice(None), -2 - pe),
+                      rx[..., :, -3 - pe], grid.own_e)
         if ax == 0 and not cfg.ns_periodic:
             FC = eset(FC, (Ellipsis, 2, slice(None)), FC[..., 3, :],
                       grid.own_s)
-            FC = eset(FC, (Ellipsis, -2, slice(None)), FC[..., -3, :],
-                      grid.own_n)
+            FC = eset(FC, (Ellipsis, -2 - pn, slice(None)),
+                      FC[..., -3 - pn, :], grid.own_n)
             rx = eset(rx, (Ellipsis, 2, slice(None)), rx[..., 3, :],
                       grid.own_s)
-            rx = eset(rx, (Ellipsis, -2, slice(None)), rx[..., -3, :],
-                      grid.own_n)
+            rx = eset(rx, (Ellipsis, -2 - pn, slice(None)),
+                      rx[..., -3 - pn, :], grid.own_n)
 
         # horizontal harmonic averages are both zero-guarded
         # (reference: prsgrd.F:271-290, epsil=0)

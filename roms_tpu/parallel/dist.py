@@ -69,16 +69,18 @@ _REPLICATED = {
 }
 
 
-def _leaf_kind(path, leaf) -> str:
-    """'spatial' | 'edge_y' | 'edge_x' | 'replicated' for one pytree leaf."""
-    name = ""
+def _leaf_name(path) -> str:
     for k in reversed(path):
         if hasattr(k, "name"):
-            name = k.name
-            break
+            return k.name
         if hasattr(k, "key"):
-            name = str(k.key)
-            break
+            return str(k.key)
+    return ""
+
+
+def _leaf_kind(path, leaf) -> str:
+    """'spatial' | 'edge_y' | 'edge_x' | 'replicated' for one pytree leaf."""
+    name = _leaf_name(path)
     if name in _REPLICATED:
         return "replicated"
     if name.endswith("_west") or name.endswith("_east"):
@@ -104,6 +106,64 @@ def specs_like(tree):
     """PartitionSpec pytree for a block-halo-layout tree."""
     return jax.tree_util.tree_map_with_path(
         lambda p, leaf: _spec_of(_leaf_kind(p, leaf), leaf), tree)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-divisibility padding (the reverse of the reference's edge-rank
+# remainder absorption, reference: src/mpi_setup.F:115-155): inert cells are
+# appended beyond the east/north ghost ring so every block is equal-sized;
+# masks are zero there, metrics replicated, and the kernels shift their
+# east/north physical-edge indices by cfg.pad_e / cfg.pad_n.
+# ---------------------------------------------------------------------------
+
+# spatial leaves that must pad with ZEROS (masks gate physics; point-source
+# face/index fields must not duplicate sources into the pad)
+_PAD_ZERO = {"rmask", "umask", "vmask", "pmask", "riv_uflx", "riv_vflx",
+             "pipe_idx"}
+
+
+def pad_for_mesh(cfg: ModelConfig, mesh: Mesh) -> ModelConfig:
+    """Padded config for this mesh (identity when already divisible)."""
+    py, px = mesh.devices.shape
+    pn = (-cfg.ny) % py
+    pe = (-cfg.nx) % px
+    if pe == 0 and pn == 0:
+        return cfg
+    if not cfg.masking:
+        raise ValueError(
+            "non-mesh-divisible grids require cfg.masking=True (padded "
+            "cells are carried as inert land)")
+    return cfg.replace(nx=cfg.nx + pe, ny=cfg.ny + pn, pad_e=pe, pad_n=pn)
+
+
+def _pad_leaf(leaf, kind: str, name: str, pe: int, pn: int):
+    """Append the inert pad to one padded-global leaf (numpy/jnp)."""
+    if pe == 0 and pn == 0:
+        return leaf
+    a = np.asarray(leaf)
+    mode = ("constant" if name in _PAD_ZERO else "edge")
+    if kind == "spatial":
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, pn), (0, pe)]
+    elif kind == "edge_y":
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, pn)]
+    elif kind == "edge_x":
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, pe)]
+    else:
+        return leaf
+    return np.pad(a, pad, mode=mode)
+
+
+def _crop_leaf(leaf, kind: str, pe: int, pn: int):
+    if pe == 0 and pn == 0:
+        return leaf
+    if kind == "spatial":
+        return leaf[..., :leaf.shape[-2] - pn or None,
+                    :leaf.shape[-1] - pe or None]
+    if kind == "edge_y":
+        return leaf[..., :leaf.shape[-1] - pn or None]
+    if kind == "edge_x":
+        return leaf[..., :leaf.shape[-1] - pe or None]
+    return leaf
 
 
 # ---------------------------------------------------------------------------
@@ -148,14 +208,19 @@ def _unblock_axis(a, n_blocks: int, h: int, axis: int):
     return out
 
 
-def to_blocked(tree, mesh: Mesh, h: int, put: bool = True):
+def to_blocked(tree, mesh: Mesh, h: int, put: bool = True,
+               pads: tuple = (0, 0)):
     """Padded-global pytree → block-halo layout, device_put with the right
     sharding (the analog of the reference's `partit` splitting,
-    reference: Tools-Roms/partit.F)."""
+    reference: Tools-Roms/partit.F).  pads=(pad_n, pad_e) appends the
+    mesh-divisibility pad first (see pad_for_mesh)."""
     py, px = mesh.devices.shape
+    pn, pe = pads
 
     def conv(path, leaf):
         kind = _leaf_kind(path, leaf)
+        name = _leaf_name(path)
+        leaf = _pad_leaf(leaf, kind, name, pe, pn)
         if kind == "spatial":
             leaf = _block_axis(leaf, py, h, leaf.ndim - 2)
             leaf = _block_axis(leaf, px, h, leaf.ndim - 1)
@@ -171,10 +236,12 @@ def to_blocked(tree, mesh: Mesh, h: int, put: bool = True):
     return jax.tree_util.tree_map_with_path(conv, tree)
 
 
-def from_blocked(tree, mesh: Mesh, h: int):
+def from_blocked(tree, mesh: Mesh, h: int, pads: tuple = (0, 0)):
     """Block-halo layout pytree → padded-global numpy pytree (the analog of
-    the reference's `ncjoin`, reference: Tools-Roms/ncjoin.F)."""
+    the reference's `ncjoin`, reference: Tools-Roms/ncjoin.F); crops the
+    mesh-divisibility pad."""
     py, px = mesh.devices.shape
+    pn, pe = pads
 
     def conv(path, leaf):
         kind = _leaf_kind(path, leaf)
@@ -186,7 +253,7 @@ def from_blocked(tree, mesh: Mesh, h: int):
             leaf = _unblock_axis(leaf, py, h, leaf.ndim - 1)
         elif kind == "edge_x":
             leaf = _unblock_axis(leaf, px, h, leaf.ndim - 1)
-        return leaf
+        return _crop_leaf(leaf, kind, pe, pn)
 
     return jax.tree_util.tree_map_with_path(conv, tree)
 
@@ -215,9 +282,7 @@ def make_distributed_step(cfg: ModelConfig, mesh: Mesh):
     from roms_tpu.stepper import step_impl
 
     py, px = mesh.devices.shape
-    if cfg.ny % py or cfg.nx % px:
-        raise ValueError(
-            f"grid {cfg.ny}x{cfg.nx} not divisible by mesh {py}x{px}")
+    cfg = pad_for_mesh(cfg, mesh)   # no-op when already divisible
     if cfg.ny // py < 4 or cfg.nx // px < 4:
         raise ValueError("blocks must be at least 4 points wide")
     if cfg.upscale_output:

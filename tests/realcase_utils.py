@@ -23,14 +23,28 @@ def oracle_path(case: str) -> str:
     return os.path.join(DATA, f"{case}_oracle.txt")
 
 
+def tracer_masses(state, grid) -> np.ndarray:
+    """Per-tracer grid-integrated content sum(t * Hz * rmask / (pm*pn))
+    over the interior — the regression hook for the tracer/BGC/CDR path,
+    which the reference's 4 dynamics series cannot see (BGC tracers do
+    not feed back on density)."""
+    t = np.asarray(state.t, np.float64)[..., 2:-2, 2:-2]
+    hz = np.asarray(state.hz, np.float64)[..., 2:-2, 2:-2]
+    da = np.asarray(grid.rmask / (grid.pm * grid.pn),
+                    np.float64)[2:-2, 2:-2]
+    return (t * hz[None] * da[None, None]).sum(axis=(1, 2, 3))
+
+
 def run_case(module, workdir: str, ntimes: int, **build_kw):
     exp = module.build(str(workdir), ntimes=ntimes, **build_kw)
-    _, rows = exp.run(nsteps=ntimes)
+    st, rows = exp.run(nsteps=ntimes)
+    masses = tracer_masses(st, exp.grid)
     exp.fileset.close()
-    return np.asarray(rows)
+    return np.asarray(rows), masses
 
 
 def check_against_oracle(case: str, rows: np.ndarray,
+                         masses: np.ndarray = None,
                          rtol=(1e-9, 1e-8, 1e-9, 1e-8)):
     """Per-step series + summed-series check (reference:
     tests/scripts/test_roms.py sums each series over all steps and requires
@@ -50,3 +64,12 @@ def check_against_oracle(case: str, rows: np.ndarray,
         # the reference's actual pass criterion: summed series
         assert np.isclose(rows[:, col].sum(), oracle[:, col].sum(),
                           rtol=rt), f"{case}: summed series {col} deviates"
+    if masses is not None:
+        mpath = os.path.join(DATA, f"{case}_mass_oracle.txt")
+        if os.environ.get("ROMS_TPU_REGEN_ORACLES"):
+            np.savetxt(mpath, masses, fmt="%.16E")
+        m_oracle = np.atleast_1d(np.loadtxt(mpath))
+        np.testing.assert_allclose(
+            masses, m_oracle, rtol=1e-9,
+            err_msg=f"{case}: final tracer content deviates "
+                    f"(tracer/BGC/CDR path regression)")

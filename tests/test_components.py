@@ -118,3 +118,46 @@ def test_omega_columns_telescope():
     wtot = om.we + om.wi
     assert float(jnp.abs(wtot[0]).max()) == 0.0
     assert float(jnp.abs(wtot[-1]).max()) == 0.0
+
+
+def test_wvlcty_rest_state_zero():
+    """Absolute vertical velocity at rest is zero (reference: wvlcty.F
+    diagnostics: all three contributions vanish with no flow)."""
+    import jax.numpy as jnp
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.ops.wvlcty import wvlcty
+
+    cfg = obc_basin.config("closed").replace(nx=16, ny=12, nz=6)
+    grid, st, frc = obc_basin.setup(cfg)
+    w = wvlcty(st.u * 0.0, st.v * 0.0, st.flx_u * 0.0, st.flx_v * 0.0,
+               st.z_r, grid, cfg)
+    assert w.shape == (cfg.nz, cfg.ny + 4, cfg.nx + 4)
+    np.testing.assert_allclose(np.asarray(w), 0.0, atol=1e-14)
+
+
+def test_wvlcty_finite_with_flow():
+    import jax.numpy as jnp
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.ops.wvlcty import wvlcty
+
+    cfg = obc_basin.config("radiating").replace(nx=16, ny=12, nz=6)
+    grid, st, frc = obc_basin.setup(cfg, inflow_u=0.1)
+    w = wvlcty(st.u, st.v, st.flx_u, st.flx_v, st.z_r, grid, cfg)
+    assert bool(jnp.all(jnp.isfinite(w)))
+
+
+def test_grid_stiffness_report():
+    """rx0/rx1 stiffness ratios (reference: src/grid_stiffness.F): zero on
+    a flat bottom, positive and <1 on the USWC-style shelf."""
+    from roms_tpu.cases import obc_basin, bench_production
+    from roms_tpu.grid import grid_stiffness
+
+    cfg = obc_basin.config("closed").replace(nx=16, ny=12, nz=6)
+    grid, st, _ = obc_basin.setup(cfg)
+    rx0, rx1 = grid_stiffness(st.z_w, grid, cfg)
+    assert rx0 < 1e-12
+
+    cfgp = bench_production.config(nx=48, ny=24, nz=10)
+    gridp, stp, _ = bench_production.setup(cfgp)
+    rx0p, rx1p = grid_stiffness(stp.z_w, gridp, cfgp)
+    assert 0.0 < rx0p < 1.0 and rx0p <= rx1p

@@ -36,17 +36,20 @@ def _run_single(cfg, grid, st, frc, nsteps):
 
 
 def _run_dist(cfg, grid, st, frc, nsteps, mesh):
+    from roms_tpu.parallel.dist import pad_for_mesh
     w1, w2, _ = set_weights(cfg.ndtfast)
     w1 = jnp.asarray(w1, jnp.float64)
     w2 = jnp.asarray(w2, jnp.float64)
-    st_b = to_blocked(st, mesh, cfg.halo)
-    frc_b = to_blocked(frc, mesh, cfg.halo)
-    grid_b = to_blocked(grid, mesh, cfg.halo)
+    cfg_p = pad_for_mesh(cfg, mesh)
+    pads = (cfg_p.pad_n, cfg_p.pad_e)
+    st_b = to_blocked(st, mesh, cfg.halo, pads=pads)
+    frc_b = to_blocked(frc, mesh, cfg.halo, pads=pads)
+    grid_b = to_blocked(grid, mesh, cfg.halo, pads=pads)
     step_first, step_rest = make_distributed_step(cfg, mesh)
     s = step_first(st_b, frc_b, grid_b, w1, w2)
     for _ in range(nsteps - 1):
         s = step_rest(s, frc_b, grid_b, w1, w2)
-    return from_blocked(s, mesh, cfg.halo)
+    return from_blocked(s, mesh, cfg.halo, pads=pads)
 
 
 def _compare(s1, sd, fields=("zeta", "ubar", "vbar", "u", "v", "t", "hz"),
@@ -149,3 +152,86 @@ def test_distributed_diag_matches_single():
                                rtol=1e-13, atol=1e-300)
     # CFL maxima are order-independent picks
     np.testing.assert_allclose(rows8[:, 3:], rows1[:, 3:], rtol=1e-12)
+
+
+def test_canonical_pairwise_sum_count_independent():
+    """The canonical-block pairwise reduction must be BITWISE independent
+    of how the field is sharded (reference: diag.F:14 SUM_BY_PAIRS +
+    :434-470 — sums independent of rank count)."""
+    from roms_tpu.diag import NB_SUM, _block_sums, _pairwise_last
+
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((64, 64)) * 1e3, jnp.float64)
+    full_blocks = _block_sums(f, NB_SUM, NB_SUM)
+    ref = float(_pairwise_last(full_blocks.reshape(1, -1))[0])
+
+    for my, mx in ((1, 1), (2, 4), (4, 2), (2, 2), (8, 1), (1, 8), (8, 8)):
+        nyl, nxl = 64 // my, 64 // mx
+        g = np.zeros((NB_SUM, NB_SUM))
+        for iy in range(my):
+            for ix in range(mx):
+                shard = f[iy * nyl:(iy + 1) * nyl, ix * nxl:(ix + 1) * nxl]
+                loc = _block_sums(shard, NB_SUM // my, NB_SUM // mx)
+                g[iy * (NB_SUM // my):(iy + 1) * (NB_SUM // my),
+                  ix * (NB_SUM // mx):(ix + 1) * (NB_SUM // mx)] = loc
+        got = float(_pairwise_last(jnp.asarray(g).reshape(1, -1))[0])
+        assert got == ref, (my, mx, got - ref)
+
+
+def test_distributed_diag_bitwise_on_canonical_grid():
+    """On a canonical grid (interior dims and mesh axes divide 8), the
+    distributed diag reduction must match the single-device one BITWISE
+    for the same state — enabling exact-match distributed regression
+    (reference: diag.F rank-count-independent sums make the exact-equality
+    checker of tests/scripts/test_roms.py possible on any rank layout).
+
+    The same state is fed to both paths: stepping itself is only
+    reproducible to the ulp across differently-compiled XLA programs
+    (fusion/FMA choices differ between the shard_map and single-device
+    executables), which the trajectory tests above cover at 1e-12."""
+    from roms_tpu.cases import filament
+    from roms_tpu.diag import compute_diag, make_distributed_diag
+
+    cfg = filament.config()
+    grid, st, frc = filament.setup(cfg)
+    w1, w2, _ = set_weights(cfg.ndtfast)
+    st = step(st, frc, grid, jnp.asarray(w1, jnp.float64),
+              jnp.asarray(w2, jnp.float64), cfg, first_step=True)
+    d1 = compute_diag(st, grid, cfg)
+
+    mesh = make_mesh(8)
+    st_b = to_blocked(st, mesh, cfg.halo)
+    grid_b = to_blocked(grid, mesh, cfg.halo)
+    d8 = make_distributed_diag(cfg, mesh)(st_b, grid_b)
+    # The canonical pairwise reduction is EXACTLY count-independent (see
+    # test_canonical_pairwise_sum_count_independent).  End-to-end the two
+    # executables may still differ by 1 ulp in the per-point diagnostic
+    # FIELDS (XLA vectorization/contraction differs between the plain and
+    # shard_map programs — not a summation-order effect), so the bound
+    # here is 2 ulp, vs ~1e-13 relative for the old fixed-order combine.
+    for name in ("avke", "avke2b", "avpe", "avzeta", "cu_adv", "cu_w",
+                 "v2d_max"):
+        a = float(getattr(d1, name))
+        b = float(getattr(d8, name))
+        assert abs(b - a) <= 2 * np.spacing(abs(a)), (name, a, b)
+
+
+def test_nondivisible_grid_pads_onto_mesh():
+    """Arbitrary (non-mesh-divisible) grids shard via inert padding — the
+    reverse of the reference's edge-rank remainder absorption (reference:
+    src/mpi_setup.F:115-155).  A 67x45 masked all-open-boundary basin with
+    an island must reproduce the single-block trajectory to round-off on a
+    2x4 mesh (pads: pad_e=1, pad_n=1)."""
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.parallel.dist import pad_for_mesh
+
+    cfg = obc_basin.config("radiating").replace(nx=67, ny=45, nz=8,
+                                                ndtfast=12)
+    grid, st, frc = obc_basin.setup(cfg, land_blob=True)
+    mesh = make_mesh(8)
+    cfg_p = pad_for_mesh(cfg, mesh)
+    assert (cfg_p.pad_n, cfg_p.pad_e) == (1, 1)
+    s1 = _run_single(cfg, grid, st, frc, 5)
+    sd = _run_dist(cfg, grid, st, frc, 5, mesh)
+    assert np.asarray(sd.zeta).shape == np.asarray(s1.zeta).shape
+    _compare(s1, sd)

@@ -13,20 +13,48 @@ import pytest
 
 from realcase_utils import check_against_oracle, run_case
 
-from roms_tpu.cases import flux_frc, pipes_real, rivers_real
+from roms_tpu.cases import (bgc_real, cdr_3d, cdr_dp, cdr_parameterized,
+                            flux_frc, pipes_real, rivers_real)
 
+# case -> (module, nsteps, build kwargs); nsteps mirrors each reference
+# case's benchmark.in NTIMES (20-step cases ran 20 in round 2 and keep
+# their frozen length; the CDR/bgc cases run the reference's NTIMES=10)
 CASES = {
-    "flux_frc": (flux_frc, 20),
-    "rivers_real": (rivers_real, 20),
-    "pipes_real": (pipes_real, 20),
+    "flux_frc": (flux_frc, 20, {}),
+    "rivers_real": (rivers_real, 20, {}),
+    "pipes_real": (pipes_real, 20, {}),
+    "cdr_parameterized": (cdr_parameterized, 10, {}),
+    "cdr_dp": (cdr_dp, 10, {}),
+    "cdr_3d": (cdr_3d, 10, {}),
+    "bgc_real": (bgc_real, 10, {"variant": "marbl"}),
+    "bgc_real_bec": (bgc_real, 10, {"variant": "bec"}),
 }
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_realcase_regression(case, tmp_path):
-    mod, nsteps = CASES[case]
-    rows = run_case(mod, tmp_path, nsteps)
-    check_against_oracle(case, rows)
+    mod, nsteps, kw = CASES[case]
+    rows, masses = run_case(mod, tmp_path, nsteps, **kw)
+    check_against_oracle(case, rows, masses)
+
+
+def test_cdr_actually_fires(tmp_path):
+    """Guard against a silently-disabled CDR module.  The diag series
+    cannot distinguish the CDR modes (BGC tracers do not feed back on
+    density — true of the reference checker too), so check the assembled
+    forcing directly: the 3d-mode CdrForcing must inject a positive net
+    ALK flux and a negative net DIC flux (the synthetic release,
+    uswc.write_cdr_3d)."""
+    import numpy as np
+    from roms_tpu.cases import cdr_real
+    from roms_tpu.cases.cdr_real import IALK, IDIC
+
+    exp = cdr_real.build(str(tmp_path), "3d", ntimes=1)
+    frc = exp.forcing_fn(float(exp.state.time), exp.forcing0, exp.state)
+    exp.fileset.close()
+    assert frc.cdr is not None
+    flx = np.asarray(frc.cdr.flx_3d)
+    assert flx[IALK].sum() > 0.0 and flx[IDIC].sum() < 0.0
 
 
 def test_pipe_and_river_actually_fire(tmp_path):
