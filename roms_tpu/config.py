@@ -134,6 +134,7 @@ class ModelConfig:
     # ---- term-by-term budget diagnostics (reference: cppdefs.opt
     # DIAGNOSTICS, src/diagnostics.F) --------------------------------------
     tracer_diagnostics: bool = False
+    uv_diagnostics: bool = False   # momentum budgets (diagnostics.F Udiag/Vdiag)
 
     # ---- sponge layer (reference: cppdefs.opt SPONGE, src/set_nudgcof.F) --
     sponge: bool = False

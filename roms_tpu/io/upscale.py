@@ -58,7 +58,9 @@ class UpscaleWriter:
             raise ValueError("state carries no upscale capture; "
                              "set cfg.upscale_output=True")
         for e in self.edges:
-            rate = np.asarray(state.upscale[e], np.float64)  # (nt, nz, len)
+            # captured at full local edge length (halo rows included) —
+            # trim to the interior for output
+            rate = np.asarray(state.upscale[e], np.float64)[..., 2:-2]
             for name, itrc, ictl in self.pairs:
                 add = rate[itrc] - (rate[ictl] if ictl is not None else 0.0)
                 key = f"{name}_add_{e}"

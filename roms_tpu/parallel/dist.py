@@ -83,9 +83,9 @@ def _leaf_kind(path, leaf) -> str:
     name = _leaf_name(path)
     if name in _REPLICATED:
         return "replicated"
-    if name.endswith("_west") or name.endswith("_east"):
+    if name.endswith("west") or name.endswith("east"):
         return "edge_y"
-    if name.endswith("_south") or name.endswith("_north"):
+    if name.endswith("south") or name.endswith("north"):
         return "edge_x"
     if hasattr(leaf, "ndim") and leaf.ndim >= 2:
         return "spatial"
@@ -285,20 +285,58 @@ def make_distributed_step(cfg: ModelConfig, mesh: Mesh):
     cfg = pad_for_mesh(cfg, mesh)   # no-op when already divisible
     if cfg.ny // py < 4 or cfg.nx // px < 4:
         raise ValueError("blocks must be at least 4 points wide")
-    if cfg.upscale_output:
-        raise NotImplementedError(
-            "upscale_output captures global edge slices; run it single-chip")
 
-    def _strip_locals(out):
-        # per-block diagnostics whose global assembly is not defined yet
-        return out.replace(upscale=None, t_budget=None)
+    def _assemble_locals(out, grid):
+        """Per-block diagnostics -> globally meaningful leaves.
+
+        Budgets (t_budget/uv_budget) are plain spatial fields — sharded
+        like the state, reassembled by from_blocked.  Upscale strips are
+        valid only on edge-owning blocks: zero elsewhere and psum across
+        the normal mesh axis, leaving a strip replicated over that axis
+        and sharded along the edge (reference: upscale_output.F records
+        only on boundary ranks)."""
+        if out.upscale is None:
+            return out
+        up = {}
+        for e, own, ax in (("west", grid.own_w, "x"),
+                           ("east", grid.own_e, "x"),
+                           ("south", grid.own_s, "y"),
+                           ("north", grid.own_n, "y")):
+            if e in out.upscale:
+                s = out.upscale[e]
+                up[e] = lax.psum(jnp.where(own, s, 0.0), ax)
+        return out.replace(upscale=up)
+
     ex = HaloExchange(h=cfg.halo, ew_periodic=cfg.ew_periodic,
                       ns_periodic=cfg.ns_periodic)
 
     def local_step(state, forcing, grid, w1, w2, first_step):
         grid = _with_ownership(grid, cfg, py, px)
-        return _strip_locals(
-            step_impl(state, forcing, grid, w1, w2, cfg, first_step, ex))
+        out = step_impl(state, forcing, grid, w1, w2, cfg, first_step, ex)
+        return _assemble_locals(out, grid)
+
+    def _out_specs(state):
+        sp = specs_like(state)
+        if cfg.tracer_diagnostics:
+            sp = sp.replace(t_budget={
+                k: P(None, None, "y", "x")
+                for k in ("hadv", "vadv", "forc", "vmix", "rate")})
+        if cfg.uv_diagnostics:
+            terms = ("pgr", "cori", "adv", "hmix", "vmix", "coup", "rate")
+            sp = sp.replace(uv_budget={
+                c: {k: P(None, "y", "x") for k in terms} for c in ("u", "v")})
+        if cfg.upscale_output:
+            usp = {}
+            if cfg.obc_west:
+                usp["west"] = P(None, None, "y")
+            if cfg.obc_east:
+                usp["east"] = P(None, None, "y")
+            if cfg.obc_south:
+                usp["south"] = P(None, None, "x")
+            if cfg.obc_north:
+                usp["north"] = P(None, None, "x")
+            sp = sp.replace(upscale=usp)
+        return sp
 
     def build(first_step: bool):
         fn = partial(local_step, first_step=first_step)
@@ -306,9 +344,8 @@ def make_distributed_step(cfg: ModelConfig, mesh: Mesh):
         def wrapped(state, forcing, grid, w1, w2):
             in_specs = (specs_like(state), specs_like(forcing),
                         specs_like(grid), P(), P())
-            out_specs = specs_like(state)
             return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs)(
+                                 out_specs=_out_specs(state))(
                 state, forcing, grid, w1, w2)
         return jax.jit(wrapped)
 

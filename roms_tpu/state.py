@@ -168,9 +168,20 @@ class OceanState:
     # term-by-term tracer budget of the last step when
     # cfg.tracer_diagnostics (reference: src/diagnostics.F): dict with
     # keys hadv/vadv/forc/vmix/rate, each (nt, nz, jy, ix), Hz-weighted
-    # tendencies [C*m/step]; vmix is the implicit-solve residual, exactly
-    # the reference's closure (reference: diagnostics.F TXvmix residual)
+    # tendencies [C*m/step]; vmix = hz_new*t_new - t_rhs is the
+    # implicit-solve contribution recorded directly at the solve
+    # (verified against an independent flux reconstruction in
+    # tests/test_budget.py)
     t_budget: Optional[dict] = None
+    # term-by-term momentum budgets when cfg.uv_diagnostics
+    # (reference: src/diagnostics.F Udiag/Vdiag, term indices
+    # diagnostics.F:56-63): dict u/v -> dict with keys
+    # pgr/cori/adv/hmix/vmix/coup/rate, each (nz, jy, ix) Hz-weighted
+    # tendencies [m^2/step]; adv combines the advective and
+    # UP3-dissipation parts (iadv+idiss), vmix is recorded directly from
+    # the implicit solve (viscosity + implicit W advection + bottom drag
+    # + surface stress), coup is the 2D/3D coupling + BC correction
+    uv_budget: Optional[dict] = None
 
 
 def zeros_state(cfg: ModelConfig, dtype=jnp.float64) -> OceanState:

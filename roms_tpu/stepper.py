@@ -30,11 +30,16 @@ from roms_tpu import vcoord
 AM3_CRV = 1.0 / 6.0  # (reference: pre_step3d4S.F:83)
 
 
-def _uv_rhs(u, v, flx_u, flx_v, hz, we, grid, cfg: ModelConfig, scheme):
+def _uv_rhs(u, v, flx_u, flx_v, hz, we, grid, cfg: ModelConfig, scheme,
+            parts: bool = False):
     """Coriolis + horizontal + vertical momentum advection r.h.s. additions
-    (reference: compute_horiz_rhs_uv_terms.h + compute_vert_rhs_uv_terms.h)."""
+    (reference: compute_horiz_rhs_uv_terms.h + compute_vert_rhs_uv_terms.h).
+
+    With parts=True also returns the (cori_u, cori_v, adv_u, adv_v) split
+    for the momentum budget (reference: diagnostics.F icori/iadv)."""
     ru = jnp.zeros_like(u)
     rv = jnp.zeros_like(v)
+    rc_u = rc_v = None
     if cfg.uv_cor or (cfg.curvgrid and cfg.uv_adv):
         rc_u, rc_v = adv.coriolis_rhs(u, v, hz, grid, cfg)
         ru = ru + rc_u
@@ -46,6 +51,10 @@ def _uv_rhs(u, v, flx_u, flx_v, hz, we, grid, cfg: ModelConfig, scheme):
         rv = rv + ra_v
         ru = ru + adv.vert_uv_rhs_spline(u, hz, we, grid.umask, grid, cfg, "u")
         rv = rv + adv.vert_uv_rhs_spline(v, hz, we, grid.vmask, grid, cfg, "v")
+    if parts:
+        zc_u = rc_u if rc_u is not None else jnp.zeros_like(u)
+        zc_v = rc_v if rc_v is not None else jnp.zeros_like(v)
+        return ru, rv, zc_u, zc_v
     return ru, rv
 
 
@@ -204,8 +213,13 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
 
     # ---- step3d_uv1: corrector r.h.s. + implicit vertical solve
     # (reference: step3d_uv1.F:123-297, IMPLICIT_BOTTOM_DRAG branch)
-    ru, rv = _uv_rhs(u_half, v_half, flx_u_h, flx_v_h, hz_n, we, grid, cfg,
-                     cfg.uv_corr_scheme)
+    if cfg.uv_diagnostics:
+        ru, rv, cori_u, cori_v = _uv_rhs(
+            u_half, v_half, flx_u_h, flx_v_h, hz_n, we, grid, cfg,
+            cfg.uv_corr_scheme, parts=True)
+    else:
+        ru, rv = _uv_rhs(u_half, v_half, flx_u_h, flx_v_h, hz_n, we, grid,
+                         cfg, cfg.uv_corr_scheme)
     ru = ru_p + ru
     rv = rv_p + rv
 
@@ -229,6 +243,23 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         bottom_drag_coeff=rd_v)
     hzu_new = vel_u * hzu_n       # Hz-weighted provisional u (u(:,:,:,nnew))
     hzv_new = vel_v * hzv_n
+    uv_budget = None
+    if cfg.uv_diagnostics:
+        # Hz-weighted per-step terms (reference: diagnostics.F Udiag/Vdiag
+        # indices :56-63).  vmix is DIRECT from the implicit solve: the
+        # solve returns vel from rhs = Hz*u(n) + dc0*ru, so
+        # Hz*vel - rhs == the implicit viscosity + implicit-W advection +
+        # bottom drag + surface stress contribution.
+        uv_budget = {
+            "u": {"pgr": dc0_u_c[None] * ru_p,
+                  "cori": dc0_u_c[None] * cori_u,
+                  "adv": dc0_u_c[None] * (ru - ru_p - cori_u),
+                  "vmix": hzu_new - (hzu_n * state.u + dc0_u_c[None] * ru)},
+            "v": {"pgr": dc0_v_c[None] * rv_p,
+                  "cori": dc0_v_c[None] * cori_v,
+                  "adv": dc0_v_c[None] * (rv - rv_p - cori_v),
+                  "vmix": hzv_new - (hzv_n * state.v + dc0_v_c[None] * rv)},
+        }
     # 3D→2D forcing integrals (reference: step3d_uv1.F:194-205, :269-279)
     rufrc = jnp.sum(ru, axis=0) + grid.dm_u * grid.dn_u * (
         forcing.sustr - rd_u * vel_u[0])
@@ -246,6 +277,12 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         hzv_new = hzv_new + cfg.dt * dv_v
         rufrc = rufrc + dru
         rvfrc = rvfrc + drv
+        if uv_budget is not None:
+            uv_budget["u"]["hmix"] = cfg.dt * du_v
+            uv_budget["v"]["hmix"] = cfg.dt * dv_v
+    if uv_budget is not None and "hmix" not in uv_budget["u"]:
+        uv_budget["u"]["hmix"] = jnp.zeros_like(hzu_new)
+        uv_budget["v"]["hmix"] = jnp.zeros_like(hzv_new)
 
     # =====================================================================
     # BAROTROPIC SUB-CYCLE  (reference: main.F:456-464, step2d_FB.F)
@@ -322,6 +359,17 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         u_new, v_new = rivers_mod.overwrite_uv(u_new, v_new, forcing,
                                                zw_new, grid)
 
+    if uv_budget is not None:
+        # rate and the 2D/3D coupling + BC correction (reference:
+        # diagnostics.F icoup; recorded against the post-coupling state)
+        for comp, hz_nn, hz_0, vel0, velf, b in (
+                ("u", hzu_nn, hzu_n, state.u, u_new, uv_budget["u"]),
+                ("v", hzv_nn, hzv_n, state.v, v_new, uv_budget["v"])):
+            rate = hz_nn * velf - hz_0 * vel0
+            b["rate"] = rate
+            b["coup"] = rate - (b["pgr"] + b["cori"] + b["adv"]
+                                + b["hmix"] + b["vmix"])
+
     u_new, v_new = halo(u_new), halo(v_new)
     flx_u_c, flx_v_c = halo(flx_u_c), halo(flx_v_c)
     ubar_new, vbar_new = halo(ubar_new), halo(vbar_new)
@@ -353,17 +401,20 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                                                 forcing, grid)
     upscale = None
     if cfg.upscale_output:
-        # outward advective flux at open-boundary faces
+        # outward advective flux at open-boundary faces, captured at the
+        # FULL local edge length (halo rows included — the writer trims;
+        # under the mesh only edge-owning blocks hold real values and
+        # dist._assemble_locals reduces them to a replicated global strip)
         # (reference: upscale_output.F:232-313 calc_forcing_rates)
         upscale = {}
         if cfg.obc_west:
-            upscale["west"] = -fx[:, :, 2:-2, 2]
+            upscale["west"] = -fx[:, :, :, 2]
         if cfg.obc_east:
-            upscale["east"] = fx[:, :, 2:-2, -2]
+            upscale["east"] = fx[:, :, :, -2 - cfg.pad_e]
         if cfg.obc_south:
-            upscale["south"] = -fe[:, :, 2, 2:-2]
+            upscale["south"] = -fe[:, :, 2, :]
         if cfg.obc_north:
-            upscale["north"] = fe[:, :, -2, 2:-2]
+            upscale["north"] = fe[:, :, -2 - cfg.pad_n, :]
     t_base = hz_n * state.t
     term_hadv = -cfg.dt * _tracer_divergence(fx, fe, pmn)
     fc = jax.vmap(adv.vert_tracer_flux_spline, in_axes=(0, None, None))(
@@ -418,13 +469,16 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         apply_mask=True)
     t_budget = None
     if cfg.tracer_diagnostics:
-        # term-by-term budget (reference: src/diagnostics.F:
-        # TXadv/TVadv/TForc explicit; TVmix as the implicit residual)
+        # term-by-term budget (reference: src/diagnostics.F
+        # TXadv/TVadv/TForc explicit).  vmix = hz*t_new - t_rhs is the
+        # implicit solve's contribution recorded DIRECTLY at the solve
+        # (t_rhs is the pre-implicit content) — verified against an
+        # independent flux reconstruction in tests/test_budget.py.
         term_forc = t_rhs - t_base - term_hadv - term_vadv
         rate = hz_new * t_new - t_base
         t_budget = {"hadv": term_hadv, "vadv": term_vadv,
                     "forc": term_forc,
-                    "vmix": rate - term_hadv - term_vadv - term_forc,
+                    "vmix": hz_new * t_new - t_rhs,
                     "rate": rate}
 
     # t3dmix lateral diffusion (reference: src/t3dmix_S.F, TS_DIF2)
@@ -465,7 +519,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     eos_new = eos.rho_eos(t_new, zr_new, zw_new, hz_new, grid.rmask, cfg)
 
     return state.replace(
-        upscale=upscale, t_budget=t_budget,
+        upscale=upscale, t_budget=t_budget, uv_budget=uv_budget,
         zeta=zeta_new, ubar=ubar_new, vbar=vbar_new,
         u=u_new, v=v_new, u_prev=state.u, v_prev=state.v,
         t=t_new, t_prev=state.t,

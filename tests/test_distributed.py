@@ -235,3 +235,47 @@ def test_nondivisible_grid_pads_onto_mesh():
     sd = _run_dist(cfg, grid, st, frc, 5, mesh)
     assert np.asarray(sd.zeta).shape == np.asarray(s1.zeta).shape
     _compare(s1, sd)
+
+
+def test_distributed_budgets_and_upscale_assemble():
+    """Budgets and upscale strips must be fully available under the mesh
+    (round-2 review: they were silently stripped) and match the
+    single-block values (reference: diagnostics.F and upscale_output.F
+    run on every rank)."""
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.driver import run, run_distributed
+
+    cfg = obc_basin.config("inflow", ntimes=3).replace(
+        nx=16, ny=16, nz=6, dt=60.0, ndtfast=20,
+        tracer_diagnostics=True, uv_diagnostics=True, upscale_output=True)
+    grid, st, frc = obc_basin.setup(cfg, inflow_u=0.1, t_inflow=2.0)
+    s1, _ = run(grid, st, frc, cfg, nsteps=3)
+    sd, _ = run_distributed(grid, st, frc, cfg, make_mesh(8), nsteps=3)
+
+    for k in ("hadv", "vadv", "forc", "vmix", "rate"):
+        a = np.asarray(s1.t_budget[k])[..., H:-H, H:-H]
+        b = np.asarray(sd.t_budget[k])[..., H:-H, H:-H]
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, atol=1e-12 * scale, rtol=0,
+                                   err_msg=f"t_budget[{k}]")
+    # momentum budgets are recorded on the reference's update range
+    # istrU..iend / jstrV..jend (reference: diagnostics.F loops): the first
+    # staggered column/row is a BOUNDARY point whose interior-formula value
+    # is overwritten by the BCs, so its budget entry is not meaningful
+    sl_u = (Ellipsis, slice(H, -H), slice(H + 1, -H))
+    sl_v = (Ellipsis, slice(H + 1, -H), slice(H, -H))
+    for comp, sl in (("u", sl_u), ("v", sl_v)):
+        for k in ("pgr", "cori", "adv", "hmix", "vmix", "coup", "rate"):
+            a = np.asarray(s1.uv_budget[comp][k])[sl]
+            b = np.asarray(sd.uv_budget[comp][k])[sl]
+            scale = max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(b, a, atol=1e-12 * scale, rtol=0,
+                                       err_msg=f"uv_budget[{comp}][{k}]")
+    assert set(sd.upscale.keys()) == set(s1.upscale.keys()) == {"west",
+                                                                "east"}
+    for e in ("west", "east"):
+        a = np.asarray(s1.upscale[e])[..., H:-H]
+        b = np.asarray(sd.upscale[e])[..., H:-H]
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, atol=1e-12 * scale, rtol=0,
+                                   err_msg=f"upscale[{e}]")

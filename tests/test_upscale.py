@@ -22,8 +22,9 @@ def test_upscale_capture_and_writer(tmp_path):
 
     up = st_end.upscale
     assert set(up.keys()) == {"west", "east"}
-    w = np.asarray(up["west"][0])   # (nz, ny)
-    e = np.asarray(up["east"][0])
+    # captured at full local edge length; interior is [2:-2]
+    w = np.asarray(up["west"][0])[:, 2:-2]   # (nz, ny)
+    e = np.asarray(up["east"][0])[:, 2:-2]
     assert w.shape == (cfg.nz, cfg.ny)
     # inflow at the west: outward (westward) flux is NEGATIVE there,
     # and tracer leaves through the east: positive outward flux
