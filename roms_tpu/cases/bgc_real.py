@@ -53,6 +53,11 @@ initial: NRREC  filename
           1
      {inp}/example_input_bgc_initial_conditions.nc
 
+MARBL_biogeochemistry: namelist  tracer_output_list   diagnostic_output_list
+      marbl_in
+      marbl_tracer_output_list
+      marbl_diagnostic_output_list
+
 output_root_name:
      bgc
 

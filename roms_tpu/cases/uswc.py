@@ -531,6 +531,33 @@ def write_tides(path: str, dom, ntides: int = 10):
         w.write("v_Im", 0.04 * zi[:, 1:, :])
 
 
+def write_climatology(path: str, dom, init,
+                      tracer_names=("temp", "salt")):
+    """example_input_climatology.nc (reference: read_inp_mod.F:1025-1036
+    clm_file — whole-grid tracer fields on a cycling monthly axis, the
+    alternative source of open-boundary tracer data consumed by
+    t3dbc_im.F TCLIMATOLOGY rows)."""
+    tmid = np.array([15.2, 45.6, 76.1, 106.5, 136.9, 167.4,
+                     197.8, 228.2, 258.7, 289.1, 319.5, 350.0])
+    with NCWriter(path, attrs={"title": "synthetic climatology"}) as w:
+        _grid_dims(w)
+        w.create_dim("s_rho", NZ)
+        _time_var(w, "clm_time", tmid, cycle=365.25)
+        for nm in tracer_names:
+            if nm == "temp":
+                f3 = init["temp"]
+            elif nm == "salt":
+                f3 = init["salt"]
+            else:
+                f3 = bgc_profile(nm, init["z_r"])
+            w.create_var(nm, ("clm_time", "s_rho", "eta_rho", "xi_rho"))
+            for rec in range(12):
+                seas = (1.0 + 0.05 * np.cos(2 * np.pi * (tmid[rec] / 365.25
+                                                         - 0.55))
+                        if nm == "temp" else 1.0)
+                w.write(nm, f3 * seas, rec=rec)
+
+
 def write_bgc_surface_clim(path: str, dom):
     """example_input_bgc_surface_forcing_clim.nc (reference reader:
     src/bgc.opt: dust/iron/pco2_air[(_alt)]/nox/nhy/swrad_LFreq on their

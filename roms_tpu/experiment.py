@@ -133,6 +133,15 @@ def assemble(infile: str, base_cfg: ModelConfig,
         nx=nx_f - 2, ny=ny_f - 2, nz=nz or base_cfg.nz,
         nt=len(tracer_names))
 
+    # a MARBL_biogeochemistry block in roms.in requires a BGC-enabled
+    # build, exactly like the reference's config check (reference:
+    # read_inp_mod.F kwread_marbl + check_setup MARBL switch consistency)
+    if rc.paths.get("marbl_namelist") and cfg.bgc_model == "none":
+        raise ValueError(
+            f"{infile}: MARBL_biogeochemistry block present but the "
+            f"compile-time config has bgc_model='none' (reference: "
+            f"check_setup errors on MARBL input without the MARBL switch)")
+
     grid = read_grid(grid_path, cfg, dtype=dtype)
     if cfg.sponge:
         from roms_tpu.sponge import set_nudgcof
@@ -172,6 +181,15 @@ def assemble(infile: str, base_cfg: ModelConfig,
             if fs.has(nm):
                 bulk_series[nm] = fs.series(nm)
 
+    # climatology file: supplies boundary tracer rows for tracers absent
+    # from the bry files (reference: read_inp_mod.F:1025-1036 — clm data
+    # is the alternative to BRY for T,S boundary data; applied in
+    # t3dbc_im.F TCLIMATOLOGY rows)
+    clm_ds = None
+    clm_path = rc.paths.get("climatology")
+    if clm_path and clm_path != "none":
+        clm_ds = open_dataset(resolve(clm_path))
+
     # open-boundary data (reference: boundary.F:43-75 + per-tracer names)
     for edge in ("west", "east", "south", "north"):
         if not getattr(cfg, f"obc_{edge}"):
@@ -186,17 +204,20 @@ def assemble(infile: str, base_cfg: ModelConfig,
             vn = f"{nm}_{edge}"
             if fs.has(vn):
                 tser.append(fs.series(vn))
+            elif clm_ds is not None and nm in clm_ds:
+                tser.append(_clm_edge_series(clm_ds, nm, edge))
             else:
                 complete = False
                 tser.append(None)
         if complete and tser:
             boundary[f"t_{edge}"] = StackSeries(tser, name=f"t_{edge}")
         elif any(s is not None for s in tser):
-            # per-tracer gaps: substitute the initial profile's edge value 0
+            # per-tracer gaps with no climatology fallback
             raise KeyError(
                 f"boundary data for edge {edge} covers only a subset of "
-                f"tracers {tracer_names}; the reference requires all "
-                f"(boundary.F per-tracer set_frc_data)")
+                f"tracers {tracer_names} and no climatology file supplies "
+                f"the rest; the reference requires all (boundary.F "
+                f"per-tracer set_frc_data / clm_file alternative)")
 
     # rivers (reference: river_frc.F:46-49; faces decoded from the grid
     # file's river_flux field, :150-280)
@@ -293,6 +314,37 @@ def assemble(infile: str, base_cfg: ModelConfig,
 def _zero_forcing_like(cfg, dtype):
     from roms_tpu.state import zero_forcing
     return zero_forcing(cfg, dtype)
+
+
+_CLM_EDGE_SLICE = {
+    "west": (Ellipsis, slice(None), 1),
+    "east": (Ellipsis, slice(None), -2),
+    "south": (Ellipsis, 1, slice(None)),
+    "north": (Ellipsis, -2, slice(None)),
+}
+
+
+def _clm_edge_series(ds, varname: str, edge: str) -> Series:
+    """Boundary-row series sliced per record from a whole-grid climatology
+    field (reference: tclm rows consumed by t3dbc_im.F:158,233,301; the
+    clm file is the whole-domain alternative to perimeter BRY data,
+    read_inp_mod.F:1026-1034).  Slicing happens at record granularity so
+    only two time slots of the 3D field are ever resident."""
+    from roms_tpu.forcing import series_from_dataset
+
+    var = ds[varname]
+    tname = var.dims[0]
+    tvar = ds[tname]
+    times = np.asarray(tvar[...], np.float64) * DAY
+    cyc = tvar.attrs.get("cycle_length")
+    cycle = (float(np.asarray(cyc).reshape(())) * DAY
+             if cyc is not None else None)
+    sl = _CLM_EDGE_SLICE[edge]
+
+    def read(i):
+        return np.asarray(var[i], np.float64)[sl]
+
+    return Series(times, read, cycle=cycle, name=f"clm:{varname}_{edge}")
 
 
 def _apply_bulk(frc: Forcing, bulk_series, t, st, grid, cfg, dtype):

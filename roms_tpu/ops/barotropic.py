@@ -266,9 +266,13 @@ def substep(fs: FastState, coeffs, w1, w2, rufrc, rvfrc, rho_s, rho_a,
         ubar_new, vbar_new, du_avg1, dv_avg1 = rivers_mod.overwrite_barotropic(
             ubar_new, vbar_new, du_avg1, dv_avg1, dnew, forcing, grid)
 
-    zeta_new = halo_fill(zeta_new)
-    ubar_new = halo_fill(ubar_new)
-    vbar_new = halo_fill(vbar_new)
+    # one FUSED exchange for the three 2D fields: a single ppermute per
+    # direction instead of three — the fast loop is the latency-critical
+    # section (SURVEY §7(a); the reference packs multiple arrays into one
+    # message the same way, reference: mpi_exchanges.F:34-42 multi-array
+    # exchange_xxx)
+    zuv = halo_fill(jnp.stack([zeta_new, ubar_new, vbar_new]))
+    zeta_new, ubar_new, vbar_new = zuv[0], zuv[1], zuv[2]
 
     fs_new = FastState(
         z_stp=zeta_new, z_bak=fs.z_stp, z_old=fs.z_bak,

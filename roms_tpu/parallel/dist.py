@@ -358,3 +358,47 @@ def shard_tree(tree, mesh: Mesh):
         return jax.device_put(
             a, NamedSharding(mesh, _spec_of(_leaf_kind(path, a), a)))
     return jax.tree_util.tree_map_with_path(put, tree)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host entry (reference: the MPI world spanning hosts, src/main.F:26
+# MPI_Init + src/mpi_setup.F; SURVEY §2.2 item 5)
+# ---------------------------------------------------------------------------
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None,
+                   dcn_axis: str = "y") -> Mesh:
+    """Initialize the JAX distributed runtime and build the global 2D
+    ('y','x') mesh over every chip of every host.
+
+    The DCN (cross-host) boundary is aligned with ONE mesh axis
+    (`dcn_axis`): each host's chips form contiguous blocks along the
+    other axis, so all halo traffic on the non-DCN axis and all but one
+    neighbor link on the DCN axis ride ICI; only the shard-boundary rows
+    between hosts cross DCN — the layout the scaling-book recipe
+    prescribes for stencil halo exchange.
+
+    On TPU pods the arguments are auto-detected from the environment
+    (jax.distributed.initialize() with no args); pass them explicitly for
+    manual process launch.  Single-process callers (tests, one host) may
+    call with num_processes=1.
+    """
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    devices = jax.devices()
+    nproc = jax.process_count()
+    n = len(devices)
+    per_host = n // nproc
+    if nproc == 1:
+        return make_mesh(devices=devices)
+    # hosts stacked along the DCN axis, each host's chips along the other
+    dev_grid = np.asarray(sorted(devices, key=lambda d: (d.process_index,
+                                                         d.id)))
+    dev_grid = dev_grid.reshape(nproc, per_host)
+    if dcn_axis == "y":
+        return Mesh(dev_grid, ("y", "x"))
+    return Mesh(dev_grid.T.copy(), ("y", "x"))

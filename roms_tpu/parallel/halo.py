@@ -163,3 +163,29 @@ def make_halo_fill(cfg, distributed: bool = False):
         return partial(periodic_fill, h=cfg.halo)
     return partial(mixed_fill, h=cfg.halo,
                    ew_periodic=cfg.ew_periodic, ns_periodic=cfg.ns_periodic)
+
+
+def halo_group(halo, *arrays):
+    """ONE fused halo refresh for several fields sharing trailing (jy, ix):
+    flatten leading dims, concatenate, exchange once, split.  The analog of
+    the reference's multi-array exchange packing up to four arrays into one
+    message round (reference: src/mpi_exchanges.F:34-42 exchange_xxx
+    overloads) — on the mesh it turns N ppermutes per direction into one.
+    """
+    if len(arrays) == 1:
+        return (halo(arrays[0]),)
+    jyix = arrays[0].shape[-2:]
+    flats, ks, shapes = [], [], []
+    for a in arrays:
+        shapes.append(a.shape)
+        k = 1
+        for d in a.shape[:-2]:
+            k *= d
+        ks.append(k)
+        flats.append(a.reshape((k,) + jyix))
+    big = halo(jnp.concatenate(flats, axis=0))
+    out, o = [], 0
+    for k, shp in zip(ks, shapes):
+        out.append(big[o:o + k].reshape(shp))
+        o += k
+    return tuple(out)

@@ -152,8 +152,13 @@ class RunConfig:
         return cfg.replace(**self.overrides)
 
 
-def read_inp(path: str) -> RunConfig:
-    """Parse a `roms.in` file (reference: read_inp_mod.F:140-220)."""
+def read_inp(path: str, strict: bool = True) -> RunConfig:
+    """Parse a `roms.in` file (reference: read_inp_mod.F:140-220).
+
+    strict=True (default) errors on unrecognized keywords, like the
+    reference's keyword registry which aborts on an unknown keyword
+    (reference: read_inp_mod.F keyword lookup + error path) — a config
+    must never silently run with half its settings ignored."""
     with open(path) as f:
         lines = f.readlines()
 
@@ -185,4 +190,10 @@ def read_inp(path: str) -> RunConfig:
         else:
             paths.setdefault("unknown_keywords", []).append(name)
         i = j
+    if strict and "unknown_keywords" in paths:
+        raise ValueError(
+            f"{path}: unrecognized keywords "
+            f"{paths['unknown_keywords']} — registered keywords: "
+            f"{sorted(KEYWORDS)} (reference: read_inp_mod.F aborts on "
+            f"unknown keywords; pass strict=False to record instead)")
     return RunConfig(overrides, paths)

@@ -37,3 +37,52 @@ def test_parse_flux_frc_in():
     assert rc.overrides["dt"] == 20.0
     assert rc.overrides["ndtfast"] == 30
     assert rc.paths["grid"].endswith("example_input_grid.nc")
+
+
+def test_strict_rejects_unknown_keywords(tmp_path):
+    """The parser must error on unrecognized keywords like the reference
+    (reference: read_inp_mod.F keyword registry aborts on unknown names;
+    round-2 review: silently recording them let configs run with half
+    their physics off)."""
+    import pytest
+
+    p = tmp_path / "bad.in"
+    p.write_text("""\
+title:
+    test
+
+time_stepping: NTIMES   dt[sec]  NDTFAST  NINFO
+               2        20       30       1
+
+frobnicate: VALUE
+    42
+""")
+    with pytest.raises(ValueError, match="frobnicate"):
+        read_inp(str(p))
+    rc = read_inp(str(p), strict=False)
+    assert rc.paths["unknown_keywords"] == ["frobnicate"]
+
+
+def test_climatology_edge_series(tmp_path):
+    """Climatology file supplies boundary tracer rows (reference:
+    read_inp_mod.F:1026-1034 clm alternative to BRY; t3dbc_im.F tclm
+    rows), with monthly cycling."""
+    import numpy as np
+    from roms_tpu.cases import uswc
+    from roms_tpu.experiment import _clm_edge_series
+    from roms_tpu.io.netcdf import open_dataset
+
+    dom = uswc.domain()
+    init = uswc.initial_state(dom)
+    p = str(tmp_path / "clm.nc")
+    uswc.write_climatology(p, dom, init, tracer_names=("temp", "salt"))
+    with open_dataset(p) as ds:
+        s = _clm_edge_series(ds, "temp", "west")
+        v0 = s.value(uswc.T0_DAYS * 86400.0)
+        assert v0.shape == (uswc.NZ, uswc.NY + 2)
+        # cycling: one full year later gives the same value
+        v1 = s.value((uswc.T0_DAYS + 365.25) * 86400.0)
+        np.testing.assert_allclose(v1, v0, rtol=1e-12)
+        # matches the generator's west row (col 1) near mid-depth
+        raw = np.asarray(ds["temp"][0], np.float64)[:, :, 1]
+        assert np.isfinite(raw).all() and raw.shape == v0.shape
