@@ -280,3 +280,194 @@ def read_restart(path: str, cfg: ModelConfig, dtype=None) -> OceanState:
             else:
                 kw[f.name] = jnp.asarray(a, dtype if dtype else jnp.float64)
     return OceanState(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Date/node file naming + rotation (reference: roms_read_write.F:1161-1208
+# create_file, :1389-1447 append_date_node, :1311-1344 sec2date)
+# ---------------------------------------------------------------------------
+
+#: seconds from 1970-01-01 to the model reference date 2000-01-01
+#: (reference: roms_read_write.F init_refdate offset)
+REF_OFFSET_2000 = 946684800.0
+
+
+def sec2date(time_s: float, offset: float = REF_OFFSET_2000):
+    """(year, month, day, hour, minute, second) of a model time in
+    seconds since the reference date (reference: roms_read_write.F
+    sec2date, Clive Page's MJD algorithm — here via the standard
+    library on the same 1970 epoch)."""
+    import datetime
+    d = datetime.datetime.fromtimestamp(time_s + offset,
+                                        datetime.timezone.utc)
+    return (d.year, d.month, d.day, d.hour, d.minute, d.second)
+
+
+def dated_filename(root: str, kind: str, time_s: float,
+                   dt_format: int = 0, period: float = 900.0) -> str:
+    """`<root>.<kind>.<datestamp>.nc` (reference: create_file +
+    append_date_node dt_format menu; node suffixes are unnecessary — the
+    framework writes ONE global file, making partit/ncjoin obsolete)."""
+    y, mo, d, h, mi, s = sec2date(time_s)
+    if dt_format == 1:      # omit the year
+        stamp = f"{mo:02d}{d:02d}{h:02d}{mi:02d}{s:02d}"
+    elif dt_format == 2:    # omit year and month
+        stamp = f"{d:02d}{h:02d}{mi:02d}{s:02d}"
+    elif dt_format == 3:    # omit seconds
+        stamp = f"{y:4d}{mo:02d}{d:02d}{h:02d}{mi:02d}"
+    elif dt_format == 4:    # old-style counter from the output period
+        stamp = f"{int(time_s / period):05d}"
+    else:
+        stamp = f"{y:4d}{mo:02d}{d:02d}{h:02d}{mi:02d}{s:02d}"
+    return f"{root}.{kind}.{stamp}.nc"
+
+
+class RotatingHistoryWriter:
+    """History output with per-file record limits and dated names
+    (reference: basic_output.F nrpf file rotation + create_file date
+    suffixes): a new `<root>.his.<date>.nc` starts every `nrpf` records.
+    """
+
+    def __init__(self, root: str, grid, cfg: ModelConfig, nrpf: int,
+                 dt_format: int = 0, **kw):
+        self.root = root
+        self.grid = grid
+        self.cfg = cfg
+        self.nrpf = nrpf
+        self.dt_format = dt_format
+        self.kw = kw
+        self.w: Optional[HistoryWriter] = None
+        self.files: list = []
+
+    def write(self, state: OceanState):
+        if self.w is None or self.w.rec >= self.nrpf:
+            if self.w is not None:
+                self.w.close()
+            path = dated_filename(self.root, "his", float(state.time),
+                                  self.dt_format)
+            self.w = HistoryWriter(path, self.grid, self.cfg, **self.kw)
+            self.files.append(path)
+        self.w.write(state)
+
+    def close(self):
+        if self.w is not None:
+            self.w.close()
+
+
+class FrcWriter:
+    """Applied-surface-forcing output (reference: src/frc_output.F —
+    records the forcing actually applied each step: wind stress, net
+    heat/salt flux, solar flux, freshwater flux)."""
+
+    FIELDS = ("sustr", "svstr", "srflx", "swflx")
+
+    def __init__(self, path: str, cfg: ModelConfig, navg: int = 1):
+        self.cfg = cfg
+        self.navg = navg
+        self.nc = NCWriter(path, provenance_attrs(cfg))
+        self.nc.create_dim("time", None)
+        self.nc.create_dim("eta_rho", cfg.ny + 2)
+        self.nc.create_dim("xi_rho", cfg.nx + 2)
+        self.nc.create_var("ocean_time", ("time",), "f8")
+        for nm in self.FIELDS + ("stflx_temp", "stflx_salt")[
+                :2 if cfg.salinity else 1]:
+            self.nc.create_var(nm, ("time", "eta_rho", "xi_rho"), "f4")
+        self._acc: dict = {}
+        self._n = 0
+        self.rec = 0
+
+    def accumulate(self, forcing, time: float):
+        for nm in self.FIELDS:
+            a = np.asarray(getattr(forcing, nm), np.float64)
+            if a.ndim == 0:
+                a = np.zeros((self.cfg.ny + 4, self.cfg.nx + 4))
+            self._acc[nm] = self._acc.get(nm, 0.0) + a
+        st = np.asarray(forcing.stflx, np.float64)
+        self._acc["stflx_temp"] = (self._acc.get("stflx_temp", 0.0)
+                                   + st[self.cfg.itemp])
+        if self.cfg.salinity:
+            self._acc["stflx_salt"] = (self._acc.get("stflx_salt", 0.0)
+                                       + st[self.cfg.isalt])
+        self._acc["ocean_time"] = self._acc.get("ocean_time", 0.0) + time
+        self._n += 1
+        if self._n >= self.navg:
+            inv = 1.0 / self._n
+            self.nc.write("ocean_time", self._acc.pop("ocean_time") * inv,
+                          rec=self.rec)
+            for nm, a in self._acc.items():
+                self.nc.write(nm, (a * inv)[1:-1, 1:-1], rec=self.rec)
+            self._acc = {}
+            self._n = 0
+            self.rec += 1
+            self.nc.sync()
+
+    def close(self):
+        self.nc.close()
+
+
+class CdrWriter:
+    """mCDR release bookkeeping output (reference: src/cdr_output.F —
+    per-release applied tracer fluxes and locations)."""
+
+    def __init__(self, path: str, cfg: ModelConfig, ncdr: int,
+                 tracer_names: Sequence[str]):
+        self.cfg = cfg
+        self.names = list(tracer_names)
+        self.nc = NCWriter(path, provenance_attrs(cfg))
+        self.nc.create_dim("time", None)
+        self.nc.create_dim("ncdr", ncdr)
+        self.nc.create_dim("ntracers", len(self.names))
+        self.nc.create_var("ocean_time", ("time",), "f8")
+        self.nc.create_var("cdr_trcflx_applied",
+                           ("time", "ntracers", "ncdr"), "f8",
+                           {"units": "tracer m^3 s^-1"})
+        self.rec = 0
+
+    def write(self, cdr, time: float):
+        self.nc.write("ocean_time", float(time), rec=self.rec)
+        self.nc.write("cdr_trcflx_applied",
+                      np.asarray(cdr.flx, np.float64).T, rec=self.rec)
+        self.rec += 1
+        self.nc.sync()
+
+    def close(self):
+        self.nc.close()
+
+
+class RandomWriter:
+    """Arbitrary-variable-list output (reference: src/random_output.F:
+    any menu of state fields at full 3D or a fixed z-level, on its own
+    schedule)."""
+
+    def __init__(self, path: str, grid, cfg: ModelConfig,
+                 varlist: Sequence[str]):
+        self.cfg = cfg
+        self.varlist = list(varlist)
+        self.nc = NCWriter(path, provenance_attrs(cfg))
+        self.nc.create_dim("time", None)
+        self.nc.create_dim("s_rho", cfg.nz)
+        self.nc.create_dim("eta_rho", cfg.ny + 2)
+        self.nc.create_dim("xi_rho", cfg.nx + 2)
+        self.nc.create_var("ocean_time", ("time",), "f8")
+        for nm in self.varlist:
+            dims = ("time", "s_rho", "eta_rho", "xi_rho")
+            if nm in ("zeta", "ubar", "vbar", "hbls", "hbbl"):
+                dims = ("time", "eta_rho", "xi_rho")
+            self.nc.create_var(nm, dims, "f4")
+        self.rec = 0
+
+    def write(self, state: OceanState):
+        self.nc.write("ocean_time", float(state.time), rec=self.rec)
+        for nm in self.varlist:
+            a = np.asarray(getattr(state, nm))
+            if nm == "t":
+                raise ValueError("use explicit tracer names")
+            if a.ndim == 3 and a.shape[0] == self.cfg.nz + 1:
+                a = 0.5 * (a[1:] + a[:-1])
+            self.nc.write(nm, a[..., 1:-1, 1:-1].astype("f4"),
+                          rec=self.rec)
+        self.rec += 1
+        self.nc.sync()
+
+    def close(self):
+        self.nc.close()

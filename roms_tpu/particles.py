@@ -134,6 +134,11 @@ def advance_particles(ps: ParticleState, u, v, we, wi, hz, grid,
                       cfg: ModelConfig) -> ParticleState:
     """One AB2 particle step (reference: particles.F:213-267)."""
     prx, pry, prz = rhs_particles(ps, u, v, we, wi, hz, grid, cfg)
+    return _ab2_update(ps, prx, pry, prz, cfg)
+
+
+def _ab2_update(ps: ParticleState, prx, pry, prz,
+                cfg: ModelConfig) -> ParticleState:
     dpxm = jnp.where(ps.first, prx, ps.dpxm)
     dpym = jnp.where(ps.first, pry, ps.dpym)
     dpzm = jnp.where(ps.first, prz, ps.dpzm)
@@ -194,3 +199,57 @@ class ParticleWriter:
 
     def close(self):
         self.nc.close()
+
+
+def make_distributed_particle_step(cfg: ModelConfig, mesh):
+    """Jitted particle step over block-halo-layout fields.
+
+    TPU-first replacement for the reference's 8-neighbor particle
+    migration (reference: particles.F:661-840, :935-1010): the particle
+    array is REPLICATED across the mesh; each block computes displacement
+    rates only for particles whose base cell lies in its interior (a
+    local gather over its halo'd fields — bitwise-equal to the global
+    gather), non-owners contribute zeros, and a psum over both mesh axes
+    replicates the full rates.  No particle ever moves between shards —
+    ownership re-evaluates from the position every step.
+
+    Usage: fields in block-halo layout (sharded P('y','x')), ParticleState
+    replicated; returns the updated replicated ParticleState.
+    """
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from roms_tpu.parallel.dist import pad_for_mesh, specs_like
+
+    cfg_p = pad_for_mesh(cfg, mesh)
+    py_, px_ = mesh.devices.shape
+    my, mx = cfg_p.ny // py_, cfg_p.nx // px_
+
+    def local(ps, u, v, we, wi, hz, grid):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        j0 = iy * my
+        i0 = ix * mx
+        i = jnp.floor(ps.px + 0.5).astype(jnp.int32)
+        j = jnp.floor(ps.py + 0.5).astype(jnp.int32)
+        c_i = jnp.clip(i, 1, cfg.nx) - 1   # owning interior cell
+        c_j = jnp.clip(j, 1, cfg.ny) - 1
+        own = ((c_i >= i0) & (c_i < i0 + mx)
+               & (c_j >= j0) & (c_j < j0 + my) & ps.active)
+        ps_loc = ps.replace(px=ps.px - i0, py=ps.py - j0)
+        prx, pry, prz = rhs_particles(ps_loc, u, v, we, wi, hz, grid, cfg)
+        zero = jnp.zeros_like(prx)
+        prx = lax.psum(jnp.where(own, prx, zero), ("x", "y"))
+        pry = lax.psum(jnp.where(own, pry, zero), ("x", "y"))
+        prz = lax.psum(jnp.where(own, prz, zero), ("x", "y"))
+        return _ab2_update(ps, prx, pry, prz, cfg)
+
+    def wrapped(ps, u, v, we, wi, hz, grid):
+        pspec = jax.tree_util.tree_map(lambda _: P(), ps)
+        fspec = P(*([None] * 1), "y", "x")
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(pspec, fspec, fspec, fspec, fspec, fspec,
+                      specs_like(grid)),
+            out_specs=pspec, check_vma=False)(ps, u, v, we, wi, hz, grid)
+
+    return jax.jit(wrapped)

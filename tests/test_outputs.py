@@ -80,3 +80,61 @@ def test_extract_writer(tmp_path):
         assert ds["moor_zeta"].shape == (1, 2)
         assert ds["moor_temp"].shape == (1, cfg.nz, 2)
         assert np.isfinite(ds["moor_u"][...]).all()
+
+
+def test_dated_filenames_and_rotation(tmp_path):
+    """Date-stamped file names + nrpf rotation (reference:
+    roms_read_write.F:1389-1447 append_date_node, basic_output.F nrpf)."""
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.driver import run
+    from roms_tpu.io.output import (RotatingHistoryWriter, dated_filename,
+                                    sec2date)
+
+    assert sec2date(0.0) == (2000, 1, 1, 0, 0, 0)
+    assert dated_filename("r", "his", 0.0) == "r.his.20000101000000.nc"
+    assert dated_filename("r", "his", 86400.0 + 3661.0, dt_format=3) \
+        == "r.his.200001020101.nc"
+    assert dated_filename("r", "his", 1800.0, dt_format=4) \
+        == "r.his.00002.nc"
+
+    cfg = obc_basin.config("closed", ntimes=4).replace(nx=12, ny=10, nz=6,
+                                                       dt=60.0, ndtfast=10)
+    grid, st, frc = obc_basin.setup(cfg)
+    rw = RotatingHistoryWriter(str(tmp_path / "rot"), grid, cfg, nrpf=2)
+    _, _ = run(grid, st, frc, cfg, step_hook=lambda s, i: rw.write(s))
+    rw.close()
+    assert len(rw.files) == 2          # 4 records / nrpf=2
+    import os
+    assert all(os.path.exists(p) for p in rw.files)
+
+
+def test_frc_and_random_writers(tmp_path):
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.driver import run
+    from roms_tpu.io.netcdf import open_dataset
+    from roms_tpu.io.output import FrcWriter, RandomWriter
+    import jax.numpy as jnp
+
+    cfg = obc_basin.config("closed", ntimes=2).replace(nx=12, ny=10, nz=6,
+                                                       dt=60.0, ndtfast=10)
+    grid, st, frc = obc_basin.setup(cfg)
+    frc = frc.replace(sustr=jnp.full_like(frc.sustr, 1e-4))
+    fp = str(tmp_path / "frc.nc")
+    rp = str(tmp_path / "rnd.nc")
+    fw = FrcWriter(fp, cfg, navg=2)
+    rw = RandomWriter(rp, grid, cfg, ["zeta", "u"])
+
+    def hook(s, i):
+        fw.accumulate(frc, float(s.time))
+        rw.write(s)
+
+    run(grid, st, frc, cfg, step_hook=hook)
+    fw.close()
+    rw.close()
+    with open_dataset(fp) as ds:
+        su = ds["sustr"][...]
+        assert su.shape == (1, cfg.ny + 2, cfg.nx + 2)
+        np.testing.assert_allclose(su, 1e-4, rtol=1e-6)
+    with open_dataset(rp) as ds:
+        assert ds["u"].shape == (2, cfg.nz, cfg.ny + 2, cfg.nx + 2)
+        assert np.isfinite(ds["zeta"][...]).all()

@@ -82,3 +82,59 @@ def test_inactive_capacity_and_writer(tmp_path):
     with open_dataset(p) as ds:
         assert ds["px"].shape == (1, 8)
         np.testing.assert_allclose(ds["px"][0], np.asarray(ps2.px))
+
+
+def test_distributed_particles_match_single():
+    """Cross-shard particle stepping (reference: particles.F:935-1010
+    8-neighbor migration): the replicated-particles + owner-block-gather
+    + psum design must reproduce the single-device trajectories through
+    block seams."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.ops.weights import set_weights
+    from roms_tpu.parallel.dist import (make_distributed_step, make_mesh,
+                                        to_blocked)
+    from roms_tpu.particles import (advance_particles,
+                                    make_distributed_particle_step,
+                                    seed_particles)
+    from roms_tpu.stepper import step
+
+    cfg = obc_basin.config("inflow").replace(nx=32, ny=16, nz=6,
+                                             dt=120.0, ndtfast=20)
+    grid, st, frc = obc_basin.setup(cfg, inflow_u=0.2, t_inflow=2.0)
+    # particles straddling future block seams (mesh 2x4 -> seams at
+    # x = 8,16,24 and y = 8)
+    px = jnp.asarray([6.0, 7.8, 15.9, 23.7, 28.0])
+    py = jnp.asarray([7.9, 8.2, 7.5, 9.0, 4.0])
+    pz = jnp.asarray([5.0, 4.0, 3.0, 2.5, 5.5])
+    ps1 = seed_particles(px, py, pz)
+    ps8 = seed_particles(px, py, pz)
+
+    mesh = make_mesh(8)
+    w1, w2, _ = set_weights(cfg.ndtfast)
+    w1 = jnp.asarray(w1, jnp.float64)
+    w2 = jnp.asarray(w2, jnp.float64)
+    st_b = to_blocked(st, mesh, cfg.halo)
+    frc_b = to_blocked(frc, mesh, cfg.halo)
+    grid_b = to_blocked(grid, mesh, cfg.halo)
+    dstep_f, dstep_r = make_distributed_step(cfg, mesh)
+    pstep = make_distributed_particle_step(cfg, mesh)
+
+    s1 = st
+    sb = st_b
+    for i in range(4):
+        s1 = step(s1, frc, grid, w1, w2, cfg, first_step=(i == 0))
+        sb = (dstep_f if i == 0 else dstep_r)(sb, frc_b, grid_b, w1, w2)
+        ps1 = advance_particles(ps1, s1.u, s1.v, s1.we, s1.wi, s1.hz,
+                                grid, cfg)
+        ps8 = pstep(ps8, sb.u, sb.v, sb.we, sb.wi, sb.hz, grid_b)
+    for f in ("px", "py", "pz"):
+        np.testing.assert_allclose(np.asarray(getattr(ps8, f)),
+                                   np.asarray(getattr(ps1, f)),
+                                   rtol=0, atol=1e-11, err_msg=f)
+    assert bool(np.all(np.asarray(ps8.active) == np.asarray(ps1.active)))
