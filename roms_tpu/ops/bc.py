@@ -120,6 +120,15 @@ def _trim_lo(val, orig, own_lo):
     return jnp.where(keep, val, orig)
 
 
+def _bry_ub(bry, name, rng, cfg):
+    """Per-point Orlanski binding velocity for one edge: the tuned
+    BoundaryData.ub_* array when present (reference: sponge_tune.F
+    ub_west/... adjusted by adjust_orlanski), else the scalar
+    cfg.ubind."""
+    v = getattr(bry, name, None) if bry is not None else None
+    return cfg.ubind if v is None else v[rng]
+
+
 def _bry(bry, name, rng=None):
     """Fetch boundary data slice; zeros-compatible scalar 0.0 if absent."""
     v = getattr(bry, name, None) if bry is not None else None
@@ -235,7 +244,8 @@ def _flather_zx(z_stp_in, z_stp_gh, z_new_in, cx):
 
 
 def _orl2d_normal(q_gh_stp, q_in_stp, q_in_new, q_in2_new, g_gh, g_in,
-                  pm_edge, dtfast, cfg, q_ext, z_new_gh_adj, z_ext, gpm):
+                  pm_edge, dtfast, cfg, q_ext, z_new_gh_adj, z_ext, gpm,
+                  ubind=None):
     """Normal-component Orlanski-2D at one W/E/S/N edge; returns the new
     boundary value before masking (reference: u2dbc_im.F:55-124).
 
@@ -254,7 +264,8 @@ def _orl2d_normal(q_gh_stp, q_in_stp, q_in_new, q_in2_new, g_gh, g_in,
             cff, jnp.maximum(dft * dfy, -cff))
     cx = dft * dfx
     inflow = cx < 0.0
-    cext = jnp.where(inflow, dtfast * cfg.ubind * pm_edge, 0.0) \
+    ub = cfg.ubind if ubind is None else ubind
+    cext = jnp.where(inflow, dtfast * ub * pm_edge, 0.0) \
         if cfg.frc_bry else 0.0
     cx = jnp.maximum(cx, 0.0)
     cy = jnp.where(inflow, 0.0, cy)
@@ -316,7 +327,9 @@ def u2dbc(ubar_new, ubar_stp, vbar_stp, z_new, z_stp, grid,
                 val = _orl2d_normal(
                     ubar_stp[INY, gh], ubar_stp[INY, in1], u[INY, in1],
                     u[INY, in2], grad_col(gh), grad_col(in1),
-                    gpm, dtf, cfg, ub_ext, z_new[INY, inr], z_ext, gpm)
+                    gpm, dtf, cfg, ub_ext, z_new[INY, inr], z_ext, gpm,
+                    ubind=_bry_ub(bry, "ub_east" if east else "ub_west",
+                                  INY, cfg))
                 val = _trim_hi(_apply_mask(val, um, INY, gh), u[INY, gh],
                                grid.own_n, ay.pad)
                 u = eset(u, (INY, gh), val, own)
@@ -468,7 +481,9 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
                 val = _orl2d_normal(
                     vbar_stp[gh, INX], vbar_stp[in1, INX], v[in1, INX],
                     v[in2, INX], grad_row(gh), grad_row(in1),
-                    gpn, dtf, cfg, vb_ext, z_new[inr, INX], z_ext, gpn)
+                    gpn, dtf, cfg, vb_ext, z_new[inr, INX], z_ext, gpn,
+                    ubind=_bry_ub(bry, "ub_north" if north else "ub_south",
+                                  INX, cfg))
                 val = _trim_hi(_apply_mask(val, vm, gh, INX), v[gh, INX],
                                grid.own_e, ax.pad)
                 v = eset(v, (gh, INX), val, own)
@@ -535,7 +550,7 @@ def v2dbc(vbar_new, vbar_stp, ubar_stp, z_new, z_stp, grid,
 # ===========================================================================
 
 def _orl3d_normal(q_gh_stp, q_in_stp, q_in_new, q_in2_new, g_gh, g_in,
-                  pm_edge, dtfwd, cfg, q_ext, inflow_speed):
+                  pm_edge, dtfwd, cfg, q_ext, inflow_speed, ubind=None):
     """Normal-component Orlanski for a 3D field at one edge; operands are
     (nz, len(edge)) slices (reference: u3dbc_im.F:49-110)."""
     dft = q_in_stp - q_in_new
@@ -554,7 +569,8 @@ def _orl3d_normal(q_gh_stp, q_in_stp, q_in_new, q_in2_new, g_gh, g_in,
     if cfg.frc_bry:
         # bind toward external data at the external inflow speed, floored by
         # ubind (reference: u3dbc_im.F:83-92)
-        cext_in = jnp.where(inflow_speed > 0.0, inflow_speed, cfg.ubind) \
+        ub = cfg.ubind if ubind is None else ubind
+        cext_in = jnp.where(inflow_speed > 0.0, inflow_speed, ub) \
             * dtfwd * pm_edge
         cext = jnp.where(inflow, cext_in, 0.0)
     else:
@@ -609,7 +625,9 @@ def u3dbc(u_new, u_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                 val = _orl3d_normal(
                     u_stp[:, INY, gh], u_stp[:, INY, in1], u[:, INY, in1],
                     u[:, INY, in2], grad_col(gh), grad_col(in1),
-                    gpm, dtfwd, cfg, u_ext, inflow_speed)
+                    gpm, dtfwd, cfg, u_ext, inflow_speed,
+                    ubind=_bry_ub(bry, "ub_east" if east else "ub_west",
+                                  INY, cfg))
                 val = _trim_hi(_apply_mask(val, um, INY, gh), u[:, INY, gh],
                                grid.own_n, ay.pad)
                 u = eset(u, (slice(None), INY, gh), val, own)
@@ -706,7 +724,9 @@ def v3dbc(v_new, v_stp, u_rhs, v_rhs, grid, cfg: ModelConfig, bry=None,
                 val = _orl3d_normal(
                     v_stp[:, gh, INX], v_stp[:, in1, INX], v[:, in1, INX],
                     v[:, in2, INX], grad_row(gh), grad_row(in1),
-                    gpn, dtfwd, cfg, v_ext, inflow_speed)
+                    gpn, dtfwd, cfg, v_ext, inflow_speed,
+                    ubind=_bry_ub(bry, "ub_north" if north else "ub_south",
+                                  INX, cfg))
                 val = _trim_hi(_apply_mask(val, vm, gh, INX), v[:, gh, INX],
                                grid.own_e, ax.pad)
                 v = eset(v, (slice(None), gh, INX), val, own)

@@ -69,6 +69,13 @@ class BoundaryData:
     t_east: Optional[jax.Array] = None
     t_south: Optional[jax.Array] = None
     t_north: Optional[jax.Array] = None
+    # per-point Orlanski binding-velocity overrides along each edge
+    # (reference: sponge_tune.F ub_west/... arrays tuned by
+    # adjust_orlanski; scalar cfg.ubind applies when None)
+    ub_west: Optional[jax.Array] = None
+    ub_east: Optional[jax.Array] = None
+    ub_south: Optional[jax.Array] = None
+    ub_north: Optional[jax.Array] = None
 
 
 def zero_boundary(cfg: ModelConfig, dtype=jnp.float64) -> BoundaryData:

@@ -159,3 +159,65 @@ def child_boundary_from_parent(
                         remap_columns(cols, hz_src_cols, hz_c), rec=r)
     w.close()
     return out_path
+
+
+def match_topo(h_child: "np.ndarray", h_parent_on_child: "np.ndarray",
+               rmask: "np.ndarray", edges=("west", "east", "south",
+                                           "north"),
+               width: int = 15):
+    """Blend child topography toward the parent's near forced open
+    boundaries (reference: Tools-Roms/r2r_match_topo.F:3-22):
+
+        h_matched = (1 - wgt) * h_child + wgt * h_parent
+
+    wgt = 1 at the open boundaries, 0 beyond the merging zone, with a
+    smooth cosine transition.  The merging weight is propagated only
+    through WATER (the reference's mask "etching": land-blocked areas
+    near the edge must not merge) via a breadth-first distance transform
+    over unmasked cells.
+    """
+    import numpy as np
+
+    h = np.asarray(h_child, np.float64)
+    hp = np.asarray(h_parent_on_child, np.float64)
+    m = np.asarray(rmask) > 0.5
+    ny, nx = h.shape
+
+    # water-only distance (in cells) from the selected open edges
+    INF = np.iinfo(np.int32).max
+    dist = np.full((ny, nx), INF, np.int32)
+    from collections import deque
+    q = deque()
+
+    def seed(jj, ii):
+        if m[jj, ii] and dist[jj, ii] != 0:
+            dist[jj, ii] = 0
+            q.append((jj, ii))
+
+    if "west" in edges:
+        for j in range(ny):
+            seed(j, 0)
+    if "east" in edges:
+        for j in range(ny):
+            seed(j, nx - 1)
+    if "south" in edges:
+        for i in range(nx):
+            seed(0, i)
+    if "north" in edges:
+        for i in range(nx):
+            seed(ny - 1, i)
+    while q:
+        j, i = q.popleft()
+        d = dist[j, i] + 1
+        if d > width:
+            continue
+        for jj, ii in ((j - 1, i), (j + 1, i), (j, i - 1), (j, i + 1)):
+            if 0 <= jj < ny and 0 <= ii < nx and m[jj, ii] \
+                    and dist[jj, ii] > d:
+                dist[jj, ii] = d
+                q.append((jj, ii))
+
+    frac = np.clip(dist.astype(np.float64) / width, 0.0, 1.0)
+    frac[dist == INF] = 1.0
+    wgt = 0.5 * (1.0 + np.cos(np.pi * frac))     # 1 at edge, 0 interior
+    return (1.0 - wgt) * h + wgt * hp

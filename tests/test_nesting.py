@@ -81,3 +81,26 @@ def test_child_boundary_roundtrip(tmp_path):
         # uniform-in-depth tracer: conservative remap keeps the value
         np.testing.assert_allclose(t, 15.0 + 10.25 / 29.0, rtol=1e-9)
         np.testing.assert_allclose(ds["ubar_west"][1], 0.3, atol=1e-12)
+
+
+def test_match_topo_blends_at_open_edges():
+    """r2r_match_topo equivalent (reference: Tools-Roms/r2r_match_topo.F):
+    child h equals parent h exactly at the open boundary, untouched in
+    the interior, smooth in between, and land-blocked areas don't merge."""
+    from roms_tpu.tools.nesting import match_topo
+
+    ny, nx = 40, 50
+    h_c = np.full((ny, nx), 100.0)
+    h_p = np.full((ny, nx), 200.0)
+    m = np.ones((ny, nx))
+    out = match_topo(h_c, h_p, m, edges=("west",), width=10)
+    np.testing.assert_allclose(out[:, 0], 200.0)       # exact at boundary
+    np.testing.assert_allclose(out[:, 15:], 100.0)     # interior untouched
+    assert 100.0 < out[20, 5] < 200.0                  # smooth blend
+    assert np.all(np.diff(out[20, :12]) <= 1e-9)       # monotone ramp
+
+    # a land wall at i=3 blocks the merging zone behind it
+    m2 = m.copy()
+    m2[10:30, 3] = 0.0
+    out2 = match_topo(h_c, h_p, m2, edges=("west",), width=10)
+    assert abs(out2[20, 5] - 100.0) < abs(out[20, 5] - 100.0) - 1e-9
