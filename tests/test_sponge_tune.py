@@ -93,8 +93,7 @@ def test_tuned_ubind_feeds_orlanski_bcs():
     s1 = _run(cfg, grid, st, frc_t, 3)
     np.testing.assert_array_equal(np.asarray(s1.zeta), np.asarray(s0.zeta))
 
-    tun2 = SpongeTuneLike = tun.replace(
-        ub_west=tun.ub_west * 0.0 + 1.5)
+    tun2 = tun.replace(ub_west=tun.ub_west * 0.0 + 1.5)
     frc_2 = frc.replace(bry=to_boundary(tun2, frc.bry))
     s2 = _run(cfg, grid, st, frc_2, 3)
     assert not np.allclose(np.asarray(s2.ubar), np.asarray(s0.ubar))
