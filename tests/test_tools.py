@@ -69,3 +69,30 @@ def test_nc3to4z(tmp_path):
     with open_dataset(out) as ds:
         np.testing.assert_array_equal(ds["h"][...], fields["h"][1])
         assert ds.attrs["title"] == "toolgrid"
+
+
+def test_sample_cli(tmp_path):
+    """Offline sampling/slicing CLI (reference: Tools-Roms/sample.F +
+    zslice.F)."""
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.driver import run
+    from roms_tpu.io.netcdf import open_dataset
+    from roms_tpu.io.output import HistoryWriter
+    from roms_tpu.tools.sample import main as sample_main
+
+    cfg = obc_basin.config("closed", ntimes=1).replace(nx=12, ny=10, nz=6,
+                                                       dt=60.0, ndtfast=10)
+    grid, st, frc = obc_basin.setup(cfg)
+    hp = str(tmp_path / "his.nc")
+    hw = HistoryWriter(hp, grid, cfg)
+    st1, _ = run(grid, st, frc, cfg)
+    hw.write(st1)
+    hw.close()
+    out = str(tmp_path / "sl.nc")
+    rc = sample_main([hp, "--var", "temp", "--depths", "20", "-o", out])
+    assert rc == 0
+    with open_dataset(out) as ds:
+        v = ds["temp"][...]
+        assert v.shape[0] == 1 and np.isfinite(v).any()
+    rc = sample_main([hp, "--var", "zeta", "--points", "5.5,5"])
+    assert rc == 0
