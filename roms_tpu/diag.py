@@ -72,19 +72,22 @@ def _block_sums(f2d, nby, nbx):
     return _pairwise_last(b.reshape(nby, nbx, by * bx))
 
 
-def _canonical_ok(ny_i, nx_i, my=1, mx=1):
-    return (ny_i % NB_SUM == 0 and nx_i % NB_SUM == 0
-            and NB_SUM % my == 0 and NB_SUM % mx == 0)
-
-
 def deterministic_sum(f2d):
-    """Canonical-block pairwise sum of a full 2D interior field (the
-    single-device entry; the distributed path reduces the same canonical
-    blocks, so both agree bitwise)."""
-    if _canonical_ok(*f2d.shape):
-        blocks = _block_sums(f2d, NB_SUM, NB_SUM)
-        return _pairwise_last(blocks.reshape(1, -1))[0]
-    return jnp.sum(f2d)
+    """Canonical-block pairwise sum of a full 2D interior field, universal
+    over ANY interior shape: non-8-divisible dims are zero-padded into the
+    canonical blocks (exact zeros change no partial sum), so the pairing —
+    hence the rounding — depends only on the global interior shape.  The
+    distributed diag reassembles the identical global field and calls THIS
+    function, so single-device and any-mesh sums are bitwise identical on
+    any grid (reference guarantee: diag.F:14 SUM_BY_PAIRS + :434-470 for
+    any rank count)."""
+    ny, nx = f2d.shape
+    pn = (-ny) % NB_SUM
+    px = (-nx) % NB_SUM
+    if pn or px:
+        f2d = jnp.pad(f2d, ((0, pn), (0, px)))
+    blocks = _block_sums(f2d, NB_SUM, NB_SUM)
+    return _pairwise_last(blocks.reshape(1, -1))[0]
 
 
 def compute_diag(state: OceanState, grid: Grid, cfg: ModelConfig) -> Diag:
@@ -155,30 +158,31 @@ def _local_fields(state: OceanState, grid: Grid, cfg: ModelConfig):
 def make_distributed_diag(cfg: ModelConfig, mesh):
     """Jitted distributed diagnostics over block-halo-layout state.
 
-    Sums reduce the same canonical 8x8 block decomposition as the
-    single-device `compute_diag` — per-block exact pairwise trees,
-    all-gathered into canonical (y, x) order, combined by one fixed
-    pairwise tree — so single-device and any-mesh diagnostics are
-    BITWISE identical whenever the interior dims and mesh axes divide 8
-    (the TPU analog of the reference's rank-count-independent reduction,
+    The four volume sums are computed by all-gathering the per-shard 2D
+    interior partial fields (a few hundred KB), reassembling the global
+    interior in canonical (y, x) order, cropping the mesh-divisibility
+    pad, and calling the SAME `deterministic_sum` as the single-device
+    `compute_diag` — so single-device and any-mesh diagnostics are
+    BITWISE identical on ANY grid and ANY mesh factorization (the TPU
+    analog of the reference's rank-count-independent reduction,
     reference: diag.F:14 SUM_BY_PAIRS, :434-470 manual binary tree).
-    Non-divisible configs fall back to a fixed-block-order combine
-    (deterministic for a fixed mesh)."""
+    `cfg` is the mesh-padded config (pad_for_mesh)."""
     from jax import lax
     from jax.sharding import PartitionSpec as P
     from roms_tpu.parallel.dist import specs_like
 
     h = cfg.halo
     my, mx = mesh.shape["y"], mesh.shape["x"]
-    canonical = _canonical_ok(cfg.ny, cfg.nx, my, mx)
 
-    def _gathered_sum(f_int):
-        """Exact canonical-block sum of one per-shard interior field."""
-        loc = _block_sums(f_int, NB_SUM // my, NB_SUM // mx)
-        g = lax.all_gather(loc, "x")           # (mx, nby_l, nbx_l)
-        g = lax.all_gather(g, "y")             # (my, mx, nby_l, nbx_l)
-        g = g.transpose(0, 2, 1, 3).reshape(NB_SUM, NB_SUM)
-        return _pairwise_last(g.reshape(1, -1))[0]
+    def _global_field(stacked):
+        """(c, ry, rx) per-shard interior partials -> (c, ny, nx) global
+        interior, pad cropped, replicated on every shard."""
+        g = lax.all_gather(stacked, "x")        # (mx, c, ry, rx)
+        g = lax.all_gather(g, "y")              # (my, mx, c, ry, rx)
+        g = g.transpose(2, 0, 3, 1, 4).reshape(
+            stacked.shape[0], cfg.ny, cfg.nx)
+        return g[:, :cfg.ny - cfg.pad_n or None,
+                 :cfg.nx - cfg.pad_e or None]
 
     def local(state, grid):
         ke, ke2b, pe, dvol, cx, cw, v2_2d = _local_fields(state, grid, cfg)
@@ -191,16 +195,13 @@ def make_distributed_diag(cfg: ModelConfig, mesh):
         row = jnp.stack([my_cx, my_cw, my_v2])
         allrows = lax.all_gather(row, "x")
         allrows = lax.all_gather(allrows, "y").reshape(-1, row.shape[0])
-        if canonical:
-            s_ke, s_ke2b, s_pe, s_zeta = (
-                _gathered_sum(_interior(f, h))
-                for f in (ke, ke2b, pe, dvol))
-        else:
-            parts = jnp.stack([jnp.sum(_interior(f, h))
-                               for f in (ke, ke2b, pe, dvol)])
-            ap = lax.all_gather(parts, "x")
-            ap = lax.all_gather(ap, "y").reshape(-1, 4)
-            s_ke, s_ke2b, s_pe, s_zeta = jnp.sum(ap, axis=0)
+        stacked = jnp.stack([_interior(f, h)
+                             for f in (ke, ke2b, pe, dvol)])
+        gf = _global_field(stacked)
+        s_ke, s_ke2b, s_pe, s_zeta = (deterministic_sum(gf[0]),
+                                      deterministic_sum(gf[1]),
+                                      deterministic_sum(gf[2]),
+                                      deterministic_sum(gf[3]))
         ib = jnp.argmax(allrows[:, 0])
         cu_adv = allrows[ib, 0]
         cu_w = allrows[ib, 1]

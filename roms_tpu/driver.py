@@ -76,12 +76,25 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
 def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
                     nsteps: int | None = None, collect_diag: bool = True,
                     print_diag: bool = False, blowup_check: bool = True,
-                    step_hook=None):
+                    step_hook=None, forcing_fn=None):
     """Distributed analog of `run`: inputs are padded-global arrays; the
     state is converted to block-halo layout, stepped under shard_map on
     `mesh`, monitored with the deterministic distributed diagnostics
     (reference: diag.F cross-rank reduction + blowup test diag.F:624-634),
     and converted back at the end.
+
+    forcing_fn: the set_forces analog for time-dependent forcing under the
+    mesh (reference: every rank re-reads/interpolates forcing each step,
+    roms_read_write.F:303-652 set_frc_data_* called from set_forces,
+    main.F:385-386).  Called on the HOST each step as
+    `forcing_fn(time_seconds, base_global_forcing, None)` with the
+    padded-GLOBAL base forcing (exactly as in the single-device driver);
+    the returned global Forcing is converted to block-halo layout and
+    device_put with the mesh sharding.  The model time is tracked
+    host-side (t0 + i*dt) so the hook costs no device sync.  The `state`
+    argument of 3-arg hooks is passed as None: hooks that need the live
+    SST (bulk forcing) operate on global arrays and would need a gather —
+    such cases must precompute or use the 2-arg form.
 
     Returns (state_padded_global_numpy, diag_rows).
     """
@@ -121,10 +134,17 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
         if blowup_check:
             check_blowup(row[1:], iic)
 
+    t0 = float(state.time)
     log(state_b, 0)
     for i in range(nsteps):
         fn = step_first if i == 0 else step_rest
-        state_b = fn(state_b, forcing_b, grid_b, w1, w2)
+        if forcing_fn is not None:
+            frc = _call_forcing_fn(forcing_fn, t0 + i * cfg.dt, forcing,
+                                   None)
+            frc_b = to_blocked(frc, mesh, h, pads=pads)
+        else:
+            frc_b = forcing_b
+        state_b = fn(state_b, frc_b, grid_b, w1, w2)
         log(state_b, i + 1)
         if step_hook is not None:
             step_hook(state_b, i + 1)

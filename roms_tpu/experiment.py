@@ -86,6 +86,16 @@ class Experiment:
         return run(self.grid, self.state, self.forcing0, self.cfg,
                    forcing_fn=self.forcing_fn, **kw)
 
+    def run_distributed(self, mesh, **kw):
+        """Run this experiment sharded over `mesh`, with the full
+        time-dependent forcing path active (record search, two-slot
+        interpolation, tides) exactly as in the single-device run
+        (reference: set_forces on every rank every step, main.F:385)."""
+        from roms_tpu.driver import run_distributed
+        return run_distributed(self.grid, self.state, self.forcing0,
+                               self.cfg, mesh, forcing_fn=self.forcing_fn,
+                               **kw)
+
 
 def _decode_point_sources(field2d: np.ndarray):
     """Split the reference's combined `value = fraction + 10*index`
@@ -316,11 +326,16 @@ def _zero_forcing_like(cfg, dtype):
     return zero_forcing(cfg, dtype)
 
 
+# On the joined-file (n+2) layout the boundary ring itself is column 0
+# (west) / -1 (east) and row 0 (south) / -1 (north): the reference
+# applies tclm(istr-1)/tclm(iend+1)/tclm(jstr-1)/tclm(jend+1)
+# (t3dbc_im.F:158,233,301), i.e. the ring value, not the first interior
+# value.
 _CLM_EDGE_SLICE = {
-    "west": (Ellipsis, slice(None), 1),
-    "east": (Ellipsis, slice(None), -2),
-    "south": (Ellipsis, 1, slice(None)),
-    "north": (Ellipsis, -2, slice(None)),
+    "west": (Ellipsis, slice(None), 0),
+    "east": (Ellipsis, slice(None), -1),
+    "south": (Ellipsis, 0, slice(None)),
+    "north": (Ellipsis, -1, slice(None)),
 }
 
 

@@ -380,7 +380,8 @@ class FrcWriter:
         for nm in self.FIELDS:
             a = np.asarray(getattr(forcing, nm), np.float64)
             if a.ndim == 0:
-                a = np.zeros((self.cfg.ny + 4, self.cfg.nx + 4))
+                # a scalar constant forcing still carries its value
+                a = np.full((self.cfg.ny + 4, self.cfg.nx + 4), float(a))
             self._acc[nm] = self._acc.get(nm, 0.0) + a
         st = np.asarray(forcing.stflx, np.float64)
         self._acc["stflx_temp"] = (self._acc.get("stflx_temp", 0.0)

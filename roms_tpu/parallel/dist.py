@@ -83,9 +83,14 @@ def _leaf_kind(path, leaf) -> str:
     name = _leaf_name(path)
     if name in _REPLICATED:
         return "replicated"
-    if name.endswith("west") or name.endswith("east"):
+    # '_west' suffix for state/boundary leaves, exact bare names for the
+    # upscale capture dict keys — a bare suffix match would misclassify
+    # any future spatial leaf whose name merely ends in a direction
+    if (name.endswith("_west") or name.endswith("_east")
+            or name in ("west", "east")):
         return "edge_y"
-    if name.endswith("south") or name.endswith("north"):
+    if (name.endswith("_south") or name.endswith("_north")
+            or name in ("south", "north")):
         return "edge_x"
     if hasattr(leaf, "ndim") and leaf.ndim >= 2:
         return "spatial"

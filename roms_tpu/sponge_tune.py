@@ -69,12 +69,15 @@ def adjust_orlanski(tun: SpongeTune, up, vp, pflx: Dict[str, jax.Array],
         new = ub + sign * alpha * (pflx[edge] - cflx)
         return jnp.clip(new, UB_MIN, UB_MAX)
 
-    # child flux at the first interior u/v line of each edge
+    # child flux sampled one face INSIDE the boundary (reference:
+    # comp_cflx pos=2, i.e. up(2,:)/up(nx-1,:) — sampling the BC-written
+    # boundary face itself would couple the feedback directly to the
+    # tuned parameter); pad-aware on the east/north (padded) sides
     kw = dict(
-        ub_west=upd(tun.ub_west, up[:, 2], "west", +1.0),
-        ub_east=upd(tun.ub_east, up[:, -3], "east", -1.0),
-        ub_south=upd(tun.ub_south, vp[2, :], "south", +1.0),
-        ub_north=upd(tun.ub_north, vp[-3, :], "north", -1.0))
+        ub_west=upd(tun.ub_west, up[:, 3], "west", +1.0),
+        ub_east=upd(tun.ub_east, up[:, -4 - cfg.pad_e], "east", -1.0),
+        ub_south=upd(tun.ub_south, vp[3, :], "south", +1.0),
+        ub_north=upd(tun.ub_north, vp[-4 - cfg.pad_n, :], "north", -1.0))
     return SpongeTune(**kw)
 
 

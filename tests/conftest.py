@@ -20,6 +20,26 @@ except Exception:
     pass
 
 jax.config.update("jax_enable_x64", True)
+
+
+# --- fast/slow tiering -------------------------------------------------
+# The heavy end-to-end modules (real-data USWC regressions and the long
+# distributed/oracle runs) are marked slow at collection; the fast tier
+# (`pytest -m "not slow"`) is the per-push CI gate (< 3 min), the full
+# suite the nightly/manual tier (reference CI splits likewise:
+# .github/workflows/automated_testing_workflow_containerized_gfortran.yml).
+_SLOW_MODULES = {
+    "test_realcases_regression",
+    "test_distributed_realcase",
+    "test_invariance",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
 # persistent compile cache: the big stepper program compiles once per machine
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_roms_tpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -279,3 +279,37 @@ def test_distributed_budgets_and_upscale_assemble():
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(b, a, atol=1e-12 * scale, rtol=0,
                                    err_msg=f"upscale[{e}]")
+
+
+@pytest.mark.parametrize("dims", [(67, 45), (99, 51)])
+def test_distributed_diag_bitwise_on_any_grid(dims):
+    """Universal count-independence: the distributed diag reassembles the
+    global interior and runs the SAME canonical zero-padded pairwise sum
+    as the single-device path, so sums agree to the ulp on grids that do
+    NOT divide the canonical 8x8 blocks — the USWC real-data shapes
+    (199x99-like) especially (reference: diag.F:14,434-470 guarantees the
+    sums for ANY rank count and grid)."""
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.diag import compute_diag, make_distributed_diag
+    from roms_tpu.parallel.dist import pad_for_mesh
+
+    nx, ny = dims
+    cfg = obc_basin.config("radiating").replace(nx=nx, ny=ny, nz=6,
+                                                ndtfast=12)
+    grid, st, frc = obc_basin.setup(cfg, land_blob=True)
+    w1, w2, _ = set_weights(cfg.ndtfast)
+    st = step(st, frc, grid, jnp.asarray(w1, jnp.float64),
+              jnp.asarray(w2, jnp.float64), cfg, first_step=True)
+    d1 = compute_diag(st, grid, cfg)
+
+    mesh = make_mesh(8)
+    cfg_p = pad_for_mesh(cfg, mesh)
+    pads = (cfg_p.pad_n, cfg_p.pad_e)
+    st_b = to_blocked(st, mesh, cfg.halo, pads=pads)
+    grid_b = to_blocked(grid, mesh, cfg.halo, pads=pads)
+    d8 = make_distributed_diag(cfg_p, mesh)(st_b, grid_b)
+    for name in ("avke", "avke2b", "avpe", "avzeta", "cu_adv", "cu_w",
+                 "v2d_max"):
+        a = float(getattr(d1, name))
+        b = float(getattr(d8, name))
+        assert abs(b - a) <= 2 * np.spacing(abs(a)), (name, a, b)

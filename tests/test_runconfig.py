@@ -83,6 +83,15 @@ def test_climatology_edge_series(tmp_path):
         # cycling: one full year later gives the same value
         v1 = s.value((uswc.T0_DAYS + 365.25) * 86400.0)
         np.testing.assert_allclose(v1, v0, rtol=1e-12)
-        # matches the generator's west row (col 1) near mid-depth
-        raw = np.asarray(ds["temp"][0], np.float64)[:, :, 1]
-        assert np.isfinite(raw).all() and raw.shape == v0.shape
+        # the sampled column is the boundary RING itself (col 0 on the
+        # joined n+2 layout), not the first interior column — the
+        # reference applies tclm(istr-1) etc. (t3dbc_im.F:158,233,301)
+        rec0 = np.asarray(ds["temp"][0], np.float64)
+        ring = rec0[:, :, 0]
+        interior = rec0[:, :, 1]
+        s0 = np.asarray(s.value_at_record(0) if hasattr(s, "value_at_record")
+                        else s.value(float(np.asarray(ds["clm_time"][0]))
+                                     * 86400.0), np.float64)
+        np.testing.assert_allclose(s0, ring, rtol=1e-12)
+        if not np.allclose(ring, interior):
+            assert not np.allclose(s0, interior)
