@@ -24,9 +24,23 @@ def _call_forcing_fn(fn, t, forcing, state):
         return fn(t, forcing)
 
 
+def _diag_due(iic: int, ninfo: int) -> bool:
+    """Reference-style log-ramped diagnostics schedule: every step while
+    spinning up (powers of two below ninfo), then every ninfo steps
+    (reference: diag.F:36-41 ic ramp)."""
+    if ninfo <= 1 or iic <= 1:
+        return True
+    if iic % ninfo == 0:
+        return True
+    if iic < ninfo:                      # power-of-two ramp
+        return iic & (iic - 1) == 0
+    return False
+
+
 def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
         collect_diag: bool = True, print_diag: bool = False,
-        blowup_check: bool = True, forcing_fn=None, step_hook=None):
+        blowup_check: bool = True, forcing_fn=None, step_hook=None,
+        ninfo: int = 1, error_log=None, timers=None):
     """Advance `nsteps` baroclinic steps; return (state, diag_rows).
 
     diag_rows[i] = (step_index, avke, avke2b, cu_adv, cu_w) matching the
@@ -38,6 +52,13 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
     the set_forces analog for time-dependent forcing (reference: main.F:385).
     step_hook: optional `f(state, step_index)` called after every step
     (output writers, particles, ...).
+    ninfo: diagnostics interval (reference: roms.in ninfo); with ninfo>1
+    the schedule is log-ramped (`_diag_due`) and steps between diag points
+    never synchronize the host with the device — the loop just enqueues.
+    error_log: optional monitor.ErrorLog; blowups are queued there (and
+    still raised, reference: error_handling_mod.F90 raise_* + abort path).
+    timers: optional monitor.Timers; accumulates the 'step' phase and
+    step count for the run banner (reference: timers.F, main.F:45-47).
     """
     from roms_tpu.monitor import check_blowup
 
@@ -51,7 +72,7 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
     rows = []
 
     def log(st, iic):
-        if collect_diag:
+        if collect_diag and _diag_due(iic, ninfo):
             d = compute_diag(st, grid, cfg)
             row = (iic, float(d.avke), float(d.avke2b),
                    float(d.cu_adv), float(d.cu_w))
@@ -60,23 +81,30 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
                 print(f"{iic:3d} {row[1]:.16E} {row[2]:.16E} "
                       f"{row[3]:.16E} {row[4]:.16E}")
             if blowup_check:
-                check_blowup(row[1:], iic)
+                check_blowup(row[1:], iic, error_log=error_log)
 
+    t0 = float(state.time)   # one sync up front; model time advances by dt
+    if timers is not None:
+        timers.tic("step")
     log(state, 0)
     for i in range(nsteps):
         frc = forcing if forcing_fn is None else _call_forcing_fn(
-            forcing_fn, float(state.time), forcing, state)
+            forcing_fn, t0 + i * cfg.dt, forcing, state)
         state = step(state, frc, grid, w1, w2, cfg, first_step=(i == 0))
         log(state, i + 1)
         if step_hook is not None:
             step_hook(state, i + 1)
+    if timers is not None:
+        timers.toc("step", sync=state.zeta)
+        timers.nsteps += nsteps
     return state, np.asarray(rows)
 
 
 def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
                     nsteps: int | None = None, collect_diag: bool = True,
                     print_diag: bool = False, blowup_check: bool = True,
-                    step_hook=None, forcing_fn=None):
+                    step_hook=None, forcing_fn=None, ninfo: int = 1,
+                    error_log=None, timers=None):
     """Distributed analog of `run`: inputs are padded-global arrays; the
     state is converted to block-halo layout, stepped under shard_map on
     `mesh`, monitored with the deterministic distributed diagnostics
@@ -122,7 +150,7 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
     rows = []
 
     def log(st, iic):
-        if not collect_diag:
+        if not collect_diag or not _diag_due(iic, ninfo):
             return
         d = diag_fn(st, grid_b)
         row = (iic, float(d.avke), float(d.avke2b),
@@ -132,9 +160,11 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
             print(f"{iic:3d} {row[1]:.16E} {row[2]:.16E} "
                   f"{row[3]:.16E} {row[4]:.16E}")
         if blowup_check:
-            check_blowup(row[1:], iic)
+            check_blowup(row[1:], iic, error_log=error_log)
 
     t0 = float(state.time)
+    if timers is not None:
+        timers.tic("step")
     log(state_b, 0)
     for i in range(nsteps):
         fn = step_first if i == 0 else step_rest
@@ -148,4 +178,7 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
         log(state_b, i + 1)
         if step_hook is not None:
             step_hook(state_b, i + 1)
+    if timers is not None:
+        timers.toc("step", sync=state_b.zeta)
+        timers.nsteps += nsteps
     return from_blocked(state_b, mesh, h, pads=pads), np.asarray(rows)

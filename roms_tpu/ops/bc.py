@@ -411,6 +411,31 @@ def _uv_corners_u(u, cfg: ModelConfig, grid):
         u = eset(u, (Ellipsis, ng, eg),
                  0.5 * (u[..., ng, ei] + u[..., ni, eg]),
                  band(grid.own_n, grid.own_e))
+    return _u_normal_ghosts(u, cfg, grid)
+
+
+def _u_normal_ghosts(u, cfg: ModelConfig, grid):
+    """Bound the cross-boundary u-face ghost line (col 1 / gh+1) by
+    replicating the BC-written boundary face.
+
+    The reference never computes nor reads u(istr-1,:) at a physical west
+    edge (loop bounds stop at istr; exchanges skip physical edges), so the
+    line is inert by omission.  Here the roll-based kernels integrate a
+    wrap-seam value there every step; it is arithmetically decoupled from
+    the interior (advective edge fixes), but its free-running dynamics can
+    grow without bound and overflow.  Replicating the boundary face keeps
+    it bounded and deterministic, matching the outer-ghost policy of
+    `mixed_fill`/`HaloExchange` (parallel/halo.py)."""
+    if cfg.ew_periodic:
+        return u
+    ax, _ = _axes_of(cfg)
+    um = _mask(grid, "umask", cfg)
+    val_w = u[..., :, 2] if um is None else u[..., :, 2] * um[:, 1]
+    u = eset(u, (Ellipsis, slice(None), 1), val_w, grid.own_w)
+    eo = ax.gh + 1                     # -1-pad: outer east ghost face
+    val_e = (u[..., :, ax.gh] if um is None
+             else u[..., :, ax.gh] * um[:, eo])
+    u = eset(u, (Ellipsis, slice(None), eo), val_e, grid.own_e)
     return u
 
 
@@ -430,6 +455,21 @@ def _uv_corners_v(v, cfg: ModelConfig, grid):
         v = eset(v, (Ellipsis, ng, eg),
                  0.5 * (v[..., ni, eg] + v[..., ng, ei]),
                  band(grid.own_n, grid.own_e))
+    return _v_normal_ghosts(v, cfg, grid)
+
+
+def _v_normal_ghosts(v, cfg: ModelConfig, grid):
+    """Row analog of `_u_normal_ghosts` for the ETA-normal v faces."""
+    if cfg.ns_periodic:
+        return v
+    _, ay = _axes_of(cfg)
+    vm = _mask(grid, "vmask", cfg)
+    val_s = v[..., 2, :] if vm is None else v[..., 2, :] * vm[1, :]
+    v = eset(v, (Ellipsis, 1, slice(None)), val_s, grid.own_s)
+    no = ay.gh + 1
+    val_n = (v[..., ay.gh, :] if vm is None
+             else v[..., ay.gh, :] * vm[no, :])
+    v = eset(v, (Ellipsis, no, slice(None)), val_n, grid.own_n)
     return v
 
 

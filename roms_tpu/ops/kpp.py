@@ -127,18 +127,29 @@ def _smooth2d(wrk, grid, cfg: ModelConfig):
 
 
 def _fill_phys_edges_2d(a, cfg: ModelConfig, grid=None):
-    """Zero-gradient copy into the first physical-edge ghost ring
-    (reference: lmd_kpp.F:545-581 hbls padding)."""
+    """Zero-gradient copy into the physical-edge ghost lines, to the full
+    halo depth (reference: lmd_kpp.F:545-581 hbls padding).
+
+    Depth 2 matters: the roll-based `_smooth2d` stencil reaches 2 cells
+    past each output point, so the outer ghost line is actually read when
+    smoothing the first interior row/column — it must hold the same
+    deterministic zero-gradient value as the ring, not whatever the
+    previous kernel left there (the reference's loop bounds confine its
+    smoother reads to the padded ring, lmd_kpp_smooth_hbl.h)."""
     ow = oe = os_ = on = None
     if grid is not None:
         ow, oe, os_, on = grid.own_w, grid.own_e, grid.own_s, grid.own_n
     pe, pn = cfg.pad_e, cfg.pad_n
     if not cfg.ew_periodic:
         a = eset(a, (Ellipsis, slice(None), 1), a[..., :, 2], ow)
+        a = eset(a, (Ellipsis, slice(None), 0), a[..., :, 2], ow)
         a = eset(a, (Ellipsis, slice(None), -2 - pe), a[..., :, -3 - pe], oe)
+        a = eset(a, (Ellipsis, slice(None), -1 - pe), a[..., :, -3 - pe], oe)
     if not cfg.ns_periodic:
         a = eset(a, (Ellipsis, 1, slice(None)), a[..., 2, :], os_)
+        a = eset(a, (Ellipsis, 0, slice(None)), a[..., 2, :], os_)
         a = eset(a, (Ellipsis, -2 - pn, slice(None)), a[..., -3 - pn, :], on)
+        a = eset(a, (Ellipsis, -1 - pn, slice(None)), a[..., -3 - pn, :], on)
     return a
 
 

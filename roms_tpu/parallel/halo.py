@@ -81,17 +81,31 @@ def periodic_fill(a: jax.Array, h: int = 2) -> jax.Array:
 def mixed_fill(a: jax.Array, h: int = 2,
                ew_periodic: bool = True,
                ns_periodic: bool = True) -> jax.Array:
-    """Wrap ghost cells on the periodic axes only.  Ghost zones along
-    closed (physical-boundary) axes are left untouched: they are maintained
-    by the boundary-condition kernels and by the extended-range pointwise
-    computations, exactly as in the reference where exchange_xxx never
-    touches physical edges (reference: src/mpi_exchanges.F)."""
+    """Wrap ghost cells on the periodic axes; on closed (physical-boundary)
+    axes, replicate the BC-maintained ring line (index h-1 / -h) outward
+    into the deeper ghost lines.
+
+    The reference never reads or writes the outer ghost lines on physical
+    edges (exchange_xxx skips them, src/mpi_exchanges.F; stencil reach from
+    the interior stops at istr-1).  Here the roll-based kernels *compute*
+    wrap-seam values into those lines; the interior is arithmetically
+    decoupled from them (the advective edge-extrapolation fixes exist for
+    exactly that, reference: compute_horiz_tracer_fluxes.h:74-83), but the
+    uncontrolled seam dynamics can overflow, and inf*0 = nan defeats the
+    mask/edge-fix decoupling.  Replicating the ring keeps every ghost line
+    bounded and deterministic without touching interior trajectories."""
     if ew_periodic:
         a = a.at[..., :, :h].set(a[..., :, -2 * h:-h])
         a = a.at[..., :, -h:].set(a[..., :, h:2 * h])
+    else:
+        a = a.at[..., :, :h - 1].set(a[..., :, h - 1:h])
+        a = a.at[..., :, -(h - 1):].set(a[..., :, -h:-h + 1])
     if ns_periodic:
         a = a.at[..., :h, :].set(a[..., -2 * h:-h, :])
         a = a.at[..., -h:, :].set(a[..., h:2 * h, :])
+    else:
+        a = a.at[..., :h - 1, :].set(a[..., h - 1:h, :])
+        a = a.at[..., -(h - 1):, :].set(a[..., -h:-h + 1, :])
     return a
 
 
@@ -134,10 +148,14 @@ class HaloExchange:
         from_west = lax.ppermute(east_strip, self.ax, self._perm(self.ax, +1))
         from_east = lax.ppermute(west_strip, self.ax, self._perm(self.ax, -1))
         if not self.ew_periodic:
+            # physical-edge blocks: keep the BC-maintained ring line (h-1 /
+            # -h) and replicate it outward (same semantics as mixed_fill)
             ix = lax.axis_index(self.ax)
             nx_ = lax.axis_size(self.ax)
-            from_west = jnp.where(ix == 0, a[..., :, :h], from_west)
-            from_east = jnp.where(ix == nx_ - 1, a[..., :, -h:], from_east)
+            ring_w = jnp.broadcast_to(a[..., :, h - 1:h], a[..., :, :h].shape)
+            ring_e = jnp.broadcast_to(a[..., :, -h:-h + 1], a[..., :, -h:].shape)
+            from_west = jnp.where(ix == 0, ring_w, from_west)
+            from_east = jnp.where(ix == nx_ - 1, ring_e, from_east)
         a = a.at[..., :, :h].set(from_west)
         a = a.at[..., :, -h:].set(from_east)
         # --- Y sweep (includes x ghosts → corners become correct)
@@ -148,8 +166,10 @@ class HaloExchange:
         if not self.ns_periodic:
             jy = lax.axis_index(self.ay)
             ny_ = lax.axis_size(self.ay)
-            from_south = jnp.where(jy == 0, a[..., :h, :], from_south)
-            from_north = jnp.where(jy == ny_ - 1, a[..., -h:, :], from_north)
+            ring_s = jnp.broadcast_to(a[..., h - 1:h, :], a[..., :h, :].shape)
+            ring_n = jnp.broadcast_to(a[..., -h:-h + 1, :], a[..., -h:, :].shape)
+            from_south = jnp.where(jy == 0, ring_s, from_south)
+            from_north = jnp.where(jy == ny_ - 1, ring_n, from_north)
         a = a.at[..., :h, :].set(from_south)
         a = a.at[..., -h:, :].set(from_north)
         return a

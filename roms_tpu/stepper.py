@@ -73,6 +73,21 @@ def _vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
     return out
 
 
+def _use_pallas_tracer(cfg: ModelConfig, state, halo) -> bool:
+    """Gate for the fused Pallas tracer stage: single-block TPU f32 steps
+    of coverable configurations (the f64 CPU oracle path and the
+    distributed path keep the jnp engine; interpret mode forces it on for
+    CPU equivalence tests)."""
+    from roms_tpu.ops import pallas_tracer
+    from roms_tpu.parallel.halo import HaloExchange
+    if not pallas_tracer.usable(cfg) or isinstance(halo, HaloExchange):
+        return False
+    if pallas_tracer._INTERPRET:
+        return True
+    return (jax.default_backend() == "tpu"
+            and state.t.dtype == jnp.float32)
+
+
 def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
               cfg: ModelConfig, first_step: bool, halo) -> OceanState:
     """Un-jitted step body with a pluggable halo backend: single-block
@@ -127,19 +142,29 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # ops + one vmapped implicit solve regardless of nt (the reference
     # loops per tracer, step3d_t_ISO.F itrc loop; here XLA sees a flat
     # batched program so compile time is independent of nt)
-    fx, fe = adv.horiz_tracer_flux(state.t, flx_u, flx_v, grid,
-                                   cfg, cfg.ts_pred_scheme)
-    if cfg.river_source:
-        fx, fe = rivers_mod.tracer_flux_fix_all(fx, fe, hz_n, zw_n,
-                                                forcing, grid)
-    t_rhs = (hz_bak * (cf_stp * state.t + cf_bak * state.t_prev)
-             - dtau * _tracer_divergence(fx, fe, pmn))
-    fc = jax.vmap(adv.vert_tracer_flux_spline, in_axes=(0, None, None))(
-        state.t, hz_n, we)
-    t_rhs = t_rhs - dtau * pmn[None] * (fc[:, 1:] - fc[:, :-1])
-    t_half = vmix.tracer_implicit_all(
-        t_rhs, hz_fwd, vmix.gather_akt(akt, cfg), wi, pmn, dtau,
-        grid.rmask, cfg, apply_mask=False)
+    use_pallas = _use_pallas_tracer(cfg, state, halo)
+    if use_pallas:
+        # fused flux+divergence+spline+implicit kernel: each nt-sized
+        # field crosses HBM once (ops/pallas_tracer.py)
+        from roms_tpu.ops import pallas_tracer
+        t_half = pallas_tracer.tracer_stage(
+            state.t, state.t_prev, flx_u, flx_v, hz_n, flx_div, we, wi,
+            akt, pmn, grid.rmask, grid.umask, grid.vmask, cfg,
+            cfg.ts_pred_scheme, dtau, cf_stp, cf_bak, False, "pred")
+    else:
+        fx, fe = adv.horiz_tracer_flux(state.t, flx_u, flx_v, grid,
+                                       cfg, cfg.ts_pred_scheme)
+        if cfg.river_source:
+            fx, fe = rivers_mod.tracer_flux_fix_all(fx, fe, hz_n, zw_n,
+                                                    forcing, grid)
+        t_rhs = (hz_bak * (cf_stp * state.t + cf_bak * state.t_prev)
+                 - dtau * _tracer_divergence(fx, fe, pmn))
+        fc = jax.vmap(adv.vert_tracer_flux_spline, in_axes=(0, None, None))(
+            state.t, hz_n, we)
+        t_rhs = t_rhs - dtau * pmn[None] * (fc[:, 1:] - fc[:, :-1])
+        t_half = vmix.tracer_implicit_all(
+            t_rhs, hz_fwd, vmix.gather_akt(akt, cfg), wi, pmn, dtau,
+            grid.rmask, cfg, apply_mask=False)
 
     # momentum predictor
     ru, rv = _uv_rhs(state.u, state.v, flx_u, flx_v, hz_n, we, grid, cfg,
@@ -394,6 +419,41 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # batched tracer corrector (nt, nz, jy, ix); the reference loops per
     # tracer (step3d_t_ISO.F itrc loop) — here the whole tracer set moves
     # through one batched set of stencil ops + one vmapped implicit solve
+    if use_pallas and forcing.cdr is None:
+        from roms_tpu.ops import pallas_tracer
+        t_sec_c = state.t
+        if cfg.lmd_kpp:
+            # fold the penetrating-solar + nonlocal KPP terms into the
+            # base content: t_base = hz_n*t_sec_c == hz_n*t + dt*d(gw)/dk
+            # (additive terms commute; reference: step3d_t_ISO.F:961-1005)
+            nzz = cfg.nz
+            gw = jnp.zeros_like(wi)
+            gsrc = forcing.srflx[None] * state.swrf[1:nzz]
+            if ghat is not None:
+                gsrc = gsrc - ghat[1:nzz] * (forcing.stflx[cfg.itemp]
+                                             - forcing.srflx)[None]
+            gw = gw.at[1:nzz].set(gsrc)
+            t_sec_c = t_sec_c.at[cfg.itemp].add(
+                cfg.dt * (gw[1:] - gw[:-1]) / hz_n)
+            if cfg.salinity and ghat is not None:
+                gws = jnp.zeros_like(wi)
+                gws = gws.at[1:nzz].set(-ghat[1:nzz]
+                                        * forcing.stflx[cfg.isalt][None])
+                t_sec_c = t_sec_c.at[cfg.isalt].add(
+                    cfg.dt * (gws[1:] - gws[:-1]) / hz_n)
+        t_new = pallas_tracer.tracer_stage(
+            t_half, t_sec_c, flx_u_c, flx_v_c, hz_n, hz_new, we, wi,
+            akt, pmn, grid.rmask, grid.umask, grid.vmask, cfg,
+            cfg.ts_corr_scheme, cfg.dt, 0.0, 1.0, True, "corr",
+            stflx=forcing.stflx)
+        return _finish_tracers(state, forcing, grid, cfg, halo,
+                               t_new, t_half, u_half, v_half,
+                               zeta_new, ubar_new, vbar_new,
+                               u_new, v_new, flx_u_c, flx_v_c, we, wi,
+                               hz_new, zr_new, zw_new, hz_n,
+                               akv, akt, hbls, hbbl, fast,
+                               upscale=None, t_budget=None,
+                               uv_budget=uv_budget)
     fx, fe = adv.horiz_tracer_flux(t_half, flx_u_c, flx_v_c, grid,
                                    cfg, cfg.ts_corr_scheme)
     if cfg.river_source:
@@ -480,6 +540,27 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                     "forc": term_forc,
                     "vmix": hz_new * t_new - t_rhs,
                     "rate": rate}
+
+    return _finish_tracers(state, forcing, grid, cfg, halo,
+                           t_new, t_half, u_half, v_half,
+                           zeta_new, ubar_new, vbar_new,
+                           u_new, v_new, flx_u_c, flx_v_c, we, wi,
+                           hz_new, zr_new, zw_new, hz_n,
+                           akv, akt, hbls, hbbl, fast,
+                           upscale=upscale, t_budget=t_budget,
+                           uv_budget=uv_budget)
+
+
+def _finish_tracers(state, forcing, grid, cfg, halo, t_new, t_half,
+                    u_half, v_half, zeta_new, ubar_new, vbar_new,
+                    u_new, v_new, flx_u_c, flx_v_c, we, wi,
+                    hz_new, zr_new, zw_new, hz_n,
+                    akv, akt, hbls, hbbl, fast, upscale, t_budget,
+                    uv_budget):
+    """Post-corrector tail shared by the jnp and Pallas tracer paths:
+    t3dmix → tracer BCs → BGC column physics → halo refresh → final EOS →
+    state assembly (reference: main.F:469-490 tail)."""
+    from roms_tpu.ops import bc, eos
 
     # t3dmix lateral diffusion (reference: src/t3dmix_S.F, TS_DIF2)
     if cfg.ts_dif2 and (cfg.tnu2 != 0.0 or grid.diff2 is not None):

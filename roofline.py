@@ -105,11 +105,14 @@ def main():
               f"SoL={sol_ms:6.2f} ms  ({rows[-1]['pct_sol']:5.1f}% of SoL)")
         return compiled
 
-    # ---- full step -------------------------------------------------------
+    # ---- full step (both tracer-engine paths) ----------------------------
+    import roms_tpu.stepper as stepper_mod
+    from roms_tpu.ops import pallas_tracer
+    from roms_tpu.stepper import step_impl
+
     st1 = step(st, forcing, grid, w1, w2, cfg, first_step=True)
     jax.block_until_ready(st1.zeta)
 
-    step_fn = lambda s: step(s, forcing, grid, w1, w2, cfg, False)
     # minimal per-step traffic model (hand count, f32):
     #   tracer engine: read t(n), t_half write+read, t(n+1) write  -> pred:
     #     read t+t_prev+hz+we+wi+akt, write t_half        (~4 nt-fields R, 1 W)
@@ -117,7 +120,25 @@ def main():
     #   -> dominated by ~10 nt-sized field passes
     #   momentum/EOS/KPP/fast loop: ~45 3D-field passes + 2D small change
     min_step = field_bytes(cfg, nfields3d=45.0, nt_fields=10.0)
-    probe("FULL STEP", step_fn, st1, min_bytes=min_step, n=10)
+    for use_pallas in (False, True):
+        jax.clear_caches()
+        stepper_mod._use_pallas_tracer = (
+            lambda c, s, h, _u=use_pallas: _u and pallas_tracer.usable(c))
+        name = "FULL STEP (pallas)" if use_pallas else "FULL STEP (jnp)"
+        probe(name,
+              lambda s: step_impl(s, forcing, grid, w1, w2, cfg, False, halo),
+              st1, min_bytes=min_step, n=10)
+
+    # fused Pallas tracer stage at full production batch
+    pmn_f = grid.pm * grid.pn
+    probe("pallas_tracer_stage",
+          lambda t: pallas_tracer.tracer_stage(
+              t, t, st1.flx_u, st1.flx_v, st1.hz, st1.hz, st1.we, st1.wi,
+              st1.akt, pmn_f, grid.rmask, grid.umask, grid.vmask, cfg,
+              cfg.ts_corr_scheme, cfg.dt, 0.0, 1.0, True, "corr"),
+          st1.t,
+          # tk double view + pad copy + t_sec + out + shared 3D fields
+          min_bytes=field_bytes(cfg, nfields3d=10, nt_fields=3))
 
     # ---- components --------------------------------------------------------
     e = eos.rho_eos(st1.t, st1.z_r, st1.z_w, st1.hz, grid.rmask, cfg,
@@ -185,6 +206,39 @@ def main():
                                           forcing.swflx, grid, cfg.dt, cfg,
                                           forcing),
           st1.flx_u, st1.flx_v, min_bytes=field_bytes(cfg, nfields3d=6))
+
+    # ---- the pieces the first pass missed (momentum solves, vertical
+    # coordinate, BC/halo overhead) ---------------------------------------
+    from roms_tpu import vcoord
+    from roms_tpu.ops import bc
+    from roms_tpu.parallel.halo import shift
+
+    dc0_u = cfg.dt * 0.25 * (grid.pm + shift(grid.pm, 0, -1)) * (
+        grid.pn + shift(grid.pn, 0, -1))
+    hzu = 0.5 * (st1.hz + shift(st1.hz, 0, -1))
+    akv_u = 0.5 * (st1.akv + shift(st1.akv, 0, -1))
+    wi_u = 0.5 * (st1.wi + shift(st1.wi, 0, -1))
+    probe("momentum_implicit(u)",
+          lambda u: vmix.momentum_implicit(
+              hzu * u, hzu, akv_u, wi_u, dc0_u, cfg.dt, forcing.sustr, cfg,
+              bottom_drag_coeff=jnp.zeros_like(dc0_u)),
+          st1.u, min_bytes=field_bytes(cfg, nfields3d=5))
+
+    probe("set_depth",
+          lambda z: vcoord.set_depth(grid.h, z, cfg),
+          st1.zeta, min_bytes=field_bytes(cfg, nfields3d=3, nfields2d=2))
+
+    probe("t3dbc+halo(nt)",
+          lambda t: halo(bc.t3dbc(t, st1.t, st1.u, st1.v, grid, cfg,
+                                  forcing.bry)),
+          st1.t, min_bytes=field_bytes(cfg, nt_fields=2))
+
+    probe("halo_group(u,v,t)",
+          lambda u, v, t: __import__("roms_tpu.parallel.halo",
+                                     fromlist=["halo_group"]).halo_group(
+              halo, u, v, t),
+          st1.u, st1.v, st1.t,
+          min_bytes=field_bytes(cfg, nfields3d=4, nt_fields=2))
 
     # ---- summary -----------------------------------------------------------
     comp_ms = sum(r["ms"] for r in rows[1:])

@@ -30,9 +30,14 @@ def tracer_masses(state, grid) -> np.ndarray:
     not feed back on density)."""
     t = np.asarray(state.t, np.float64)[..., 2:-2, 2:-2]
     hz = np.asarray(state.hz, np.float64)[..., 2:-2, 2:-2]
-    da = np.asarray(grid.rmask / (grid.pm * grid.pn),
-                    np.float64)[2:-2, 2:-2]
-    return (t * hz[None] * da[None, None]).sum(axis=(1, 2, 3))
+    rmask = np.asarray(grid.rmask, np.float64)[2:-2, 2:-2]
+    da = np.asarray(1.0 / (grid.pm * grid.pn), np.float64)[2:-2, 2:-2]
+    # land/boundary-ring cells can legitimately hold non-finite garbage
+    # (masked out of the physics, like the reference's unset land values);
+    # zero them BEFORE the weighted sum — numpy NaN*0 is NaN, not 0
+    t = np.where((rmask > 0.0)[None, None], t, 0.0)
+    hz = np.where((rmask > 0.0)[None], hz, 0.0)
+    return (t * hz[None] * (rmask * da)[None, None]).sum(axis=(1, 2, 3))
 
 
 def run_case(module, workdir: str, ntimes: int, **build_kw):

@@ -55,8 +55,11 @@ def test_isoneutral_conserves_and_dissipates():
     _, v_ref = _content_var(st_ref, grid_n, cfg_n)
     # the rotated biharmonic dissipates tracer variance beyond the base run
     assert v1 < v_ref
-    # and actually did something
-    assert not np.allclose(np.asarray(st_iso.t[0]), np.asarray(st_ref.t[0]))
+    # and actually did something (the short run's genuine isoneutral signal
+    # is ~1e-6 relative; np.allclose's default rtol=1e-5 would call that
+    # "equal", so threshold explicitly)
+    assert np.abs(np.asarray(st_iso.t[0])
+                  - np.asarray(st_ref.t[0])).max() > 1e-7
 
 
 def test_isoneutral_uniform_tracer_untouched():

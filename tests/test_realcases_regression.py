@@ -9,12 +9,23 @@ See CASES.md for why the oracles are self-frozen rather than the
 reference's own numbers (the reference's input data is download-only).
 """
 
+import jax
 import pytest
 
 from realcase_utils import check_against_oracle, run_case
 
 from roms_tpu.cases import (bgc_real, cdr_3d, cdr_dp, cdr_parameterized,
                             flux_frc, pipes_real, rivers_real)
+
+
+@pytest.fixture(autouse=True)
+def _drop_compiled(request):
+    """Release each case's compiled executables after the test: eight
+    199x99x50 f64 cases in one process otherwise accumulate enough
+    live-executable memory that the process aborts inside the
+    compilation-cache writer near the end of the module."""
+    yield
+    jax.clear_caches()
 
 # case -> (module, nsteps, build kwargs); nsteps mirrors each reference
 # case's benchmark.in NTIMES (20-step cases ran 20 in round 2 and keep
