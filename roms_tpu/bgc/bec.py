@@ -170,8 +170,44 @@ def o2_saturation(temp, salt):
     return jnp.exp(a + b) * 44.6596  # ml/L fit -> umol/L = mmol/m3
 
 
-PISTON = 3.0e-5  # [m/s] fixed gas-transfer velocity (~2.6 m/day; the
-#                  reference computes kw from u10^2 — deviation documented)
+# Wanninkhof-style wind-speed-dependent gas transfer (reference:
+# bec2_driver.F:107 a=8.6e-7 s/m = 0.31 cm/hr per (m/s)^2; XKW = a*ws^2 at
+# :194; PV = XKW * sqrt(660/Sc))
+XKW_COEFF = 8.6e-7   # [s/m]
+SC_REF = 660.0
+
+
+def schmidt_o2(temp):
+    """Schmidt number of O2(SST) (reference: bec2_driver.F CSCHMIDT_O2,
+    Keeling et al. 1998)."""
+    return 1638.0 + temp * (-81.83 + temp * (1.483 + temp * (-0.008004)))
+
+
+def schmidt_co2(temp):
+    """Schmidt number of CO2(SST) (reference: bec2_driver.F CSCHMIDT_CO2,
+    Wanninkhof 1992)."""
+    return 2073.1 + temp * (-125.62 + temp * (3.6276 + temp * (-0.043219)))
+
+
+def wind_speed_from_stress(sustr_r, svstr_r, rho0):
+    """10 m wind speed from the kinematic stress at rho points: invert
+    ustar^2 = ws*(c1 + ws*(c2 + ws*c3)) with 3 Newton iterations from a
+    constant-Cd guess (reference: bec2_driver.F:3228-3322 WS())."""
+    rho_air = 1.2
+    c1, c2, c3, cd = 0.0027, 0.000142, 0.0000764, 1.7e-3
+    ust2 = jnp.sqrt(sustr_r ** 2 + svstr_r ** 2) * rho0 / rho_air
+    ws = jnp.sqrt(ust2 / cd)
+    for _ in range(3):
+        f = ws * (c1 + ws * (c2 + ws * c3)) - ust2
+        fp = c1 + ws * (2.0 * c2 + ws * 3.0 * c3)
+        ws = ws - f / jnp.maximum(fp, 1e-12)
+    return jnp.maximum(ws, 0.0)
+
+
+def gas_transfer_velocity(ws, schmidt):
+    """Piston velocity kw = a*ws^2*sqrt(660/Sc) [m/s]."""
+    return XKW_COEFF * ws * ws * jnp.sqrt(
+        SC_REF / jnp.maximum(schmidt, 1.0))
 
 
 # ---- the kernel ------------------------------------------------------------
@@ -461,9 +497,21 @@ def make_surface_flux(names: Tuple[str, ...]):
         salt = ctx.salt[-1] if ctx.salt is not None \
             else jnp.full_like(temp, 35.0)
 
+        # wind-speed-dependent piston velocities (reference:
+        # bec2_driver.F:194 XKW = a*ws^2, then sqrt(660/Sc) per gas);
+        # ws comes from bulk wspd when the case carries it, else from the
+        # kinematic stress via the reference's WS() inversion (the caller
+        # injects "wspd" either way; a missing entry means no wind ->
+        # no gas exchange, exactly like the reference at calm)
+        ws = forc.get("wspd")
+        if ws is None:
+            ws = jnp.zeros_like(temp)
+        kw_o2 = gas_transfer_velocity(ws, schmidt_o2(temp))
+        kw_co2 = gas_transfer_velocity(ws, schmidt_co2(temp))
+
         o2 = trc[I("O2")][-1]
         o2sat = o2_saturation(temp, salt)
-        flx = flx.at[I("O2")].set(PISTON * (o2sat - o2))
+        flx = flx.at[I("O2")].set(kw_o2 * (o2sat - o2))
 
         def co2flx(dic_n, alk_n, pco2_key):
             dic = trc[I(dic_n)][-1]
@@ -475,7 +523,7 @@ def make_surface_flux(names: Tuple[str, ...]):
             # flux = kw * K0 * (pCO2_air - pCO2_oc); express via co2star:
             # co2star/K0 = pco2_oc  =>  K0*d_pco2 = co2star * dp/pco2_oc
             scale = co2star / jnp.maximum(pco2_oc, 1e-3)
-            return PISTON * (pco2_air - pco2_oc) * scale
+            return kw_co2 * (pco2_air - pco2_oc) * scale
 
         flx = flx.at[I("DIC")].add(co2flx("DIC", "ALK", "pco2_air"))
         if has("DIC_ALT_CO2"):

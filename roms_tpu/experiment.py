@@ -375,8 +375,12 @@ def _apply_bulk(frc: Forcing, bulk_series, t, st, grid, cfg, dtype):
                    v["lwrad"], v["swrad"], sst,
                    st.u[-1], st.v[-1], grid, cfg)
     stflx = frc.stflx.at[cfg.itemp].set(fx.stflx_temp)
+    # expose the 10 m wind speed for gas exchange (reference:
+    # bec2_driver.F:186-188 BULK_FRC branch uses wspd directly)
+    bgc = dict(frc.bgc) if frc.bgc else {}
+    bgc["wspd"] = jnp.sqrt(v["uwnd"] ** 2 + v["vwnd"] ** 2)
     return frc.replace(sustr=fx.sustr, svstr=fx.svstr, stflx=stflx,
-                       srflx=fx.srflx, swflx=fx.swflx)
+                       srflx=fx.srflx, swflx=fx.swflx, bgc=bgc)
 
 
 def _load_tides(fs: FileSet, cfg, ntides, bry_tides, pot_tides, dtype):

@@ -391,16 +391,27 @@ def init_multihost(coordinator_address: str | None = None,
     """
     import jax
 
+    if num_processes == 1 and coordinator_address is None:
+        # single-process bring-up (tests, one host): jax.distributed still
+        # requires a coordinator endpoint, so run one on a free local port
+        import socket
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            coordinator_address = f"localhost:{s.getsockname()[1]}"
+        process_id = 0
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
-    devices = jax.devices()
-    nproc = jax.process_count()
-    n = len(devices)
-    per_host = n // nproc
+    return _multihost_mesh(jax.devices(), jax.process_count(), dcn_axis)
+
+
+def _multihost_mesh(devices, nproc: int, dcn_axis: str = "y") -> Mesh:
+    """Pure mesh-layout rule for `init_multihost` (unit-tested without a
+    real multi-process runtime): hosts stacked along the DCN axis, each
+    host's chips contiguous along the other axis."""
     if nproc == 1:
         return make_mesh(devices=devices)
-    # hosts stacked along the DCN axis, each host's chips along the other
+    per_host = len(devices) // nproc
     dev_grid = np.asarray(sorted(devices, key=lambda d: (d.process_index,
                                                          d.id)))
     dev_grid = dev_grid.reshape(nproc, per_host)

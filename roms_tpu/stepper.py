@@ -584,10 +584,19 @@ def _finish_tracers(state, forcing, grid, cfg, halo, t_new, t_half,
             swr_frac=state.swrf, rmask=grid.rmask, dt=cfg.dt,
             time=state.time)
         # atmospheric BGC forcing fields (dust/iron/pco2/...) ride on the
-        # Forcing pytree (reference: bgc_forces.F via set_forces)
-        dtr, _ = model.interior_tendency(t_new[i0:], ctx, None,
-                                         forcing.bgc)
-        sfl = model.surface_flux(t_new[i0:], ctx, forcing.bgc)
+        # Forcing pytree (reference: bgc_forces.F via set_forces); the
+        # gas-exchange wind speed is the bulk wspd when the case carries
+        # one, else inverted from the kinematic stress exactly like the
+        # reference (bec2_driver.F:186-192 BULK_FRC branch vs WS())
+        bgc_forc = dict(forcing.bgc) if forcing.bgc else {}
+        if "wspd" not in bgc_forc:
+            from roms_tpu.bgc.bec import wind_speed_from_stress
+            sustr_r = 0.5 * (forcing.sustr + shift(forcing.sustr, 0, 1))
+            svstr_r = 0.5 * (forcing.svstr + shift(forcing.svstr, 1, 0))
+            bgc_forc["wspd"] = wind_speed_from_stress(
+                sustr_r, svstr_r, cfg.rho0)
+        dtr, _ = model.interior_tendency(t_new[i0:], ctx, None, bgc_forc)
+        sfl = model.surface_flux(t_new[i0:], ctx, bgc_forc)
         t_bgc = t_new[i0:] + cfg.dt * dtr
         t_bgc = t_bgc.at[:, -1].add(cfg.dt * sfl / hz_new[-1])
         if cfg.masking:

@@ -116,6 +116,7 @@ def test_surface_fluxes_directions():
     jyix = ctx.srflx.shape
     forc = {"pco2_air": jnp.full(jyix, 2000.0),      # huge excess -> ingassing
             "pco2_air_alt": jnp.full(jyix, 1.0),     # near-zero -> outgassing
+            "wspd": jnp.full(jyix, 7.0),             # Wanninkhof kw(u10)
             "dust": jnp.full(jyix, 6.0e-10),
             "iron": jnp.full(jyix, 1.0e-3),
             "nox": jnp.full(jyix, 8.0e-11),
@@ -155,3 +156,32 @@ def test_bec2_in_full_step():
     # BGC tracers moved (coupled), stayed in a physical range
     assert not np.allclose(np.asarray(st2.t[2:]), np.asarray(bgc0))
     assert float(st2.t[2 + 1].min()) > -1e-6   # NO3 non-negative-ish
+
+
+def test_gas_transfer_velocity_wanninkhof():
+    """kw = a*u10^2*sqrt(660/Sc) with the reference coefficients
+    (reference: bec2_driver.F:107,194 + CSCHMIDT_O2/CO2)."""
+    # Schmidt numbers at 20 C (Wanninkhof 1992 table values)
+    assert abs(float(bec.schmidt_co2(jnp.asarray(20.0))) - 668.0) < 5.0
+    assert abs(float(bec.schmidt_o2(jnp.asarray(20.0))) - 530.0) < 15.0
+    # kw at 7 m/s, Sc=660: 8.6e-7*49 = 4.2e-5 m/s (~15 cm/hr)
+    kw = float(bec.gas_transfer_velocity(jnp.asarray(7.0),
+                                         jnp.asarray(660.0)))
+    assert abs(kw - 8.6e-7 * 49.0) < 1e-9
+    # quadratic wind dependence
+    kw14 = float(bec.gas_transfer_velocity(jnp.asarray(14.0),
+                                           jnp.asarray(660.0)))
+    assert abs(kw14 / kw - 4.0) < 1e-6
+
+
+def test_wind_speed_from_stress_roundtrip():
+    """WS() inverts the ustar^2(u10) cubic: feeding the stress implied by
+    a known u10 recovers it (reference: bec2_driver.F:3228-3322)."""
+    rho0, rho_air = 1025.0, 1.2
+    c1, c2, c3 = 0.0027, 0.000142, 0.0000764
+    for u10 in (3.0, 7.0, 15.0):
+        ust2 = u10 * (c1 + u10 * (c2 + u10 * c3))       # m^2/s^2
+        tau_kin = ust2 * rho_air / rho0                 # kinematic stress
+        ws = float(bec.wind_speed_from_stress(
+            jnp.asarray(tau_kin), jnp.asarray(0.0), rho0))
+        assert abs(ws - u10) / u10 < 1e-3, (u10, ws)

@@ -8,6 +8,8 @@ tests run on 3x2 ranks vs the same physics on 1 rank), plus a unit test of
 the halo-exchange primitive itself (reference: src/mpi_test.F).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -313,3 +315,58 @@ def test_distributed_diag_bitwise_on_any_grid(dims):
         a = float(getattr(d1, name))
         b = float(getattr(d8, name))
         assert abs(b - a) <= 2 * np.spacing(abs(a)), (name, a, b)
+
+
+def test_multihost_mesh_layout():
+    """The DCN boundary aligns with one mesh axis: hosts are stacked
+    along `dcn_axis`, each host's chips contiguous along the other, so
+    halo traffic crosses DCN only at the one inter-host shard boundary
+    (reference: the MPI world spanning hosts, src/main.F:26-28;
+    SURVEY 2.2 item 5)."""
+    import dataclasses
+
+    from roms_tpu.parallel.dist import _multihost_mesh
+
+    @dataclasses.dataclass(frozen=True)
+    class FakeDev:
+        process_index: int
+        id: int
+
+    devs = [FakeDev(p, p * 4 + i) for p in range(2) for i in range(4)]
+    mesh = _multihost_mesh(devs, nproc=2, dcn_axis="y")
+    assert mesh.devices.shape == (2, 4)
+    # row 0 = host 0's chips, row 1 = host 1's chips
+    assert all(d.process_index == 0 for d in mesh.devices[0])
+    assert all(d.process_index == 1 for d in mesh.devices[1])
+    mesh_x = _multihost_mesh(devs, nproc=2, dcn_axis="x")
+    assert mesh_x.devices.shape == (4, 2)
+    assert all(d.process_index == 0 for d in mesh_x.devices[:, 0])
+    assert all(d.process_index == 1 for d in mesh_x.devices[:, 1])
+
+
+def test_init_multihost_single_process_smoke():
+    """`init_multihost(num_processes=1)` executes end-to-end (the
+    jax.distributed runtime mutates global state, so run it in a clean
+    subprocess) and returns the full single-host mesh."""
+    import subprocess
+    import sys
+
+    code = (
+        # sitecustomize may pre-import jax with an accelerator platform;
+        # force CPU + 8 virtual devices the same way conftest.py does
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ['XLA_FLAGS']="
+        "'--xla_force_host_platform_device_count=8';"
+        "import jax;"
+        "jax.config.update('jax_platforms', 'cpu');"
+        "jax.config.update('jax_num_cpu_devices', 8);"
+        "import sys; sys.path.insert(0, %r);"
+        "from roms_tpu.parallel.dist import init_multihost;"
+        "m = init_multihost(num_processes=1);"
+        "assert m.devices.size == 8, m.devices.shape;"
+        "assert m.axis_names == ('y', 'x');"
+        "print('MULTIHOST_OK', m.devices.shape)"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=300)
+    assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
