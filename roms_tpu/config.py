@@ -131,10 +131,23 @@ class ModelConfig:
     # src/upscale_output.F): record boundary advective tracer fluxes ------
     upscale_output: bool = False
 
+    # ---- non-hydrostatic pressure projection (reference: cppdefs.opt
+    # NHMG, NHMG/src/nhmg.f90; off by default, like the reference ships) --
+    non_hydrostatic: bool = False
+    nh_iters: int = 40       # PCG iterations per projection (roms_tpu/nhmg.py)
+
     # ---- term-by-term budget diagnostics (reference: cppdefs.opt
     # DIAGNOSTICS, src/diagnostics.F) --------------------------------------
     tracer_diagnostics: bool = False
     uv_diagnostics: bool = False   # momentum budgets (diagnostics.F Udiag/Vdiag)
+
+    # ---- surface flux corrections (reference: cppdefs.opt QCORRECTION /
+    # SFLX_CORR, src/surf_flux.F:140-163): relax the surface heat /
+    # salinity flux toward SST/SSS data with a piston velocity [m/s]
+    qcorrection: bool = False
+    sflx_corr: bool = False
+    dsstdt: float = 1.1574e-5    # ~1 m/day
+    dsssdt: float = 1.1574e-5
 
     # ---- sponge layer (reference: cppdefs.opt SPONGE, src/set_nudgcof.F) --
     sponge: bool = False

@@ -58,7 +58,50 @@ TRACER_NAMES = ["temp", "salt"]  # tracer 0, 1; extras are passive_NN
 def tracer_name(cfg: ModelConfig, i: int) -> str:
     if i < len(TRACER_NAMES) and (i == 0 or cfg.salinity):
         return TRACER_NAMES[i]
+    if cfg.bgc_model != "none" and cfg.n_bgc > 0 and i >= cfg.nt - cfg.n_bgc:
+        try:
+            from roms_tpu.bgc.api import get_model
+            return get_model(cfg.bgc_model).tracer_names[
+                i - (cfg.nt - cfg.n_bgc)]
+        except Exception:
+            pass
     return f"passive_{i:02d}"
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerMeta:
+    """Per-tracer output metadata row (reference: src/tracers.opt:36-67
+    wrt_t / wrt_t_avg / t_vname / t_units / t_lname table)."""
+    name: str
+    long_name: str = ""
+    units: str = ""
+    wrt: bool = True          # write to history files
+    wrt_avg: bool = True      # write to averages files
+
+
+_KNOWN_META = {
+    "temp": ("potential temperature", "Celsius"),
+    "salt": ("salinity", "PSU"),
+}
+
+
+def tracer_table(cfg: ModelConfig):
+    """Default per-tracer metadata table: temp/salt with physical units,
+    BGC tracers named from the registered model (mmol m-3), the rest
+    passive.  Writers accept a user-supplied table to override names,
+    units, or the wrt/wrt_avg flags (reference: tracers.opt USER INPUT 2)."""
+    rows = []
+    nbgc0 = cfg.nt - cfg.n_bgc if cfg.bgc_model != "none" else cfg.nt
+    for i in range(cfg.nt):
+        nm = tracer_name(cfg, i)
+        if nm in _KNOWN_META:
+            ln, un = _KNOWN_META[nm]
+        elif i >= nbgc0:
+            ln, un = f"{nm} concentration", "mmol meter-3"
+        else:
+            ln, un = f"passive tracer {i}", ""
+        rows.append(TracerMeta(name=nm, long_name=ln, units=un))
+    return rows
 
 
 def git_hash() -> str:
@@ -105,12 +148,23 @@ class HistoryWriter:
 
     def __init__(self, path: str, grid, cfg: ModelConfig,
                  menu: Optional[Sequence] = None, dtype: str = "f4",
-                 extra_attrs: Optional[dict] = None):
+                 extra_attrs: Optional[dict] = None,
+                 tracers: Optional[Sequence["TracerMeta"]] = None):
         self.cfg = cfg
         self.dtype = dtype
         menu = list(menu if menu is not None else HIS_MENU)
-        for i in range(cfg.nt):
-            menu.append((tracer_name(cfg, i), "r3", f"tracer {i}", ""))
+        # per-tracer metadata/flag table (reference: tracers.opt wrt_t /
+        # t_vname / t_units / t_lname); wrt False drops the variable
+        self.tracers = list(tracers) if tracers is not None \
+            else tracer_table(cfg)
+        self._trc_index = {}
+        avg = isinstance(self, AverageWriter)
+        for i, tm in enumerate(self.tracers):
+            if not (tm.wrt_avg if avg else tm.wrt):
+                continue
+            self._trc_index[tm.name] = i
+            menu.append((tm.name, "r3", tm.long_name or f"tracer {i}",
+                         tm.units))
         self.menu = menu
         attrs = provenance_attrs(cfg)
         attrs.update(extra_attrs or {})
@@ -137,9 +191,8 @@ class HistoryWriter:
     def _field(self, state: OceanState, name: str):
         if name == "w":
             return np.asarray(state.we) + np.asarray(state.wi)
-        for i in range(self.cfg.nt):
-            if name == tracer_name(self.cfg, i):
-                return np.asarray(state.t[i])
+        if name in self._trc_index:
+            return np.asarray(state.t[self._trc_index[name]])
         return np.asarray(getattr(state, name))
 
     def write(self, state: OceanState):

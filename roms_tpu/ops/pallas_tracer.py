@@ -266,46 +266,39 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
     surface = stflx is not None
 
     jy_p = -(-jy // BJ) * BJ
-    tail = jy_p - jy
     nj = jy_p // BJ
 
-    def rpad(a, extra=0):
-        """Pad the j axis (axis -2) up to the block multiple plus `extra`
-        rows (edge mode; the extra rows produce discarded output or feed
-        the over-fetch of the r+1 block view)."""
-        t = tail + extra
-        if t == 0:
-            return a
-        return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, t), (0, 0)],
-                       mode="edge")
+    # Row padding policy: the ONLY arrays padded host-side are the four
+    # whose values cross rows inside the stencil (tk window, masks, fv) —
+    # one fused wrap-pad each, sized so the shifted r+1 block view stays
+    # meaningful.  Every pointwise-consumed field (hz, we, wi, akt, t_sec,
+    # pmn, rmask, stflx) is passed UNPADDED: the tail block's
+    # out-of-bounds reads land only in output rows >= jy, which the
+    # pipeline's out-of-bounds write handling discards — saving a full
+    # read+write pass per field per stage (the profiler showed these pad
+    # copies costing more than the kernel's own compute).
+    rows_w = (nj + 1) * BJ
+    wrap_w = lambda a: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 2) + [(2, rows_w - jy - 2), (2, 2)],
+        mode="wrap")
 
-    wrap2 = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(2, 2), (2, 2)],
-                              mode="wrap")
-
-    # halo-consuming inputs: wrap2 -> row extent jy+4; pad rows up to
-    # (nj+1)*BJ so the shifted (r+1) block view is always in bounds
-    row_extra = (nj + 1) * BJ - (jy_p + 4)
     if cfg.masking:
-        um_w = rpad(wrap2(umask), row_extra)
-        vm_w = rpad(wrap2(vmask), row_extra)
+        um_w = wrap_w(umask)
+        vm_w = wrap_w(vmask)
     else:
-        um_w = vm_w = jnp.ones(((nj + 1) * BJ, ix + 4), dtype)
-    tk_w = rpad(wrap2(tk), row_extra)
-    # flx_u/flx_v need no row halo beyond +1 (fv): wrap the columns only
-    fu_w = rpad(jnp.pad(flx_u, [(0, 0), (0, 0), (0, 1)], mode="wrap"))
-    # fv needs one extra row beyond each output row (fe divergence); the
-    # jnp path's roll wraps there, so the row tail must be wrap, not edge
-    fv_w = jnp.pad(flx_v, [(0, 0), (0, (nj + 1) * BJ - jy), (0, 0)],
-                   mode="wrap")
+        um_w = vm_w = jnp.ones((rows_w, ix + 4), dtype)
+    tk_w = wrap_w(tk)
+    # flx_u needs only the wrap column beyond the east edge
+    fu_w = jnp.pad(flx_u, [(0, 0), (0, 0), (0, 1)], mode="wrap")
+    # fv needs one wrap row beyond each output row (fe divergence)
+    fv_w = jnp.pad(flx_v, [(0, 0), (0, rows_w - jy), (0, 0)], mode="wrap")
 
-    t_sec = rpad(t_sec)
-    hz_a = rpad(hz_a)
-    hz_b = rpad(hz_b)
-    we = rpad(we)
-    wi = rpad(wi)
-    akt = rpad(akt)
-    pmn = rpad(pmn)
-    rmask = rpad(rmask)
+    rpad = lambda a: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 2) + [(0, jy_p - jy), (0, 0)],
+        mode="edge") if jy_p != jy else a
+    t_sec = rpad(t_sec); hz_a = rpad(hz_a); hz_b = rpad(hz_b)
+    we = rpad(we); wi = rpad(wi); akt = rpad(akt)
+    pmn = rpad(pmn); rmask = rpad(rmask)
     if stflx is None:
         stflx_in = jnp.zeros((nt, BJ, ix), dtype)
         st_spec = pl.BlockSpec((1, BJ, ix), lambda r, t: (t, 0, 0),
@@ -369,6 +362,6 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
         interpret=_INTERPRET,
     )(tk_w, tk_w, fu_w, fv_w, fv_w, um_w, um_w, vm_w, vm_w,
       t_sec, hz_a, hz_b, we, wi, akt, pmn, rmask, stflx_in)
-    if tail:
+    if jy_p != jy:
         out = out[:, :, :jy, :]
     return out

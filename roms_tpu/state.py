@@ -104,6 +104,11 @@ class Forcing:
     stflx: jax.Array   # (nt, jy, ix) surface tracer fluxes
     srflx: jax.Array   # shortwave radiation [degC m/s]
     swflx: jax.Array   # freshwater (P-E) volume flux [m/s]
+    # surface restoring data (reference: src/surf_flux.F:118-163
+    # QCORRECTION / SFLX_CORR): SST/SSS fields the surface tracer fluxes
+    # relax toward with piston velocities cfg.dsstdt / cfg.dsssdt
+    sst: Optional[jax.Array] = None
+    sss: Optional[jax.Array] = None
     # rivers: face fluxes encode river id and fraction as
     # +-frac/faces + 10*id (reference: river_frc.F:240-280)
     riv_uflx: Optional[jax.Array] = None

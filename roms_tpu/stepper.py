@@ -99,6 +99,18 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     hbls, hbbl = state.hbls, state.hbbl
     ghat = None
 
+    # surface flux restoring toward SST/SSS data (reference:
+    # src/surf_flux.F:140-163 apply_surf_field_corr; QCORRECTION REPLACES
+    # the heat flux, SFLX_CORR ADDS to the salt flux)
+    if cfg.qcorrection and forcing.sst is not None:
+        stflx = forcing.stflx.at[cfg.itemp].set(
+            -cfg.dsstdt * (state.t[cfg.itemp, -1] - forcing.sst))
+        forcing = forcing.replace(stflx=stflx)
+    if cfg.sflx_corr and cfg.salinity and forcing.sss is not None:
+        stflx = forcing.stflx.at[cfg.isalt].add(
+            -cfg.dsssdt * (state.t[cfg.isalt, -1] - forcing.sss))
+        forcing = forcing.replace(stflx=stflx)
+
     # =====================================================================
     # PREDICTOR STAGE (nrhs = n)  (reference: main.F:385-423)
     # =====================================================================
@@ -383,6 +395,17 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     if cfg.river_source:
         u_new, v_new = rivers_mod.overwrite_uv(u_new, v_new, forcing,
                                                zw_new, grid)
+
+    # non-hydrostatic pressure projection on the corrected horizontal
+    # velocities (reference: the NHMG coupling of step3d_uv2 when the
+    # NHMG cppkey is on; the library ships disabled and so does this
+    # flag — roms_tpu/nhmg.py documents the solver and its deviation)
+    if cfg.non_hydrostatic:
+        from roms_tpu import nhmg
+        w0 = jnp.zeros((cfg.nz + 1,) + u_new.shape[1:], u_new.dtype)
+        nh = nhmg.nh_solve(u_new, v_new, w0, hz_new, zr_new,
+                           grid.pm, grid.pn, grid, cfg)
+        u_new, v_new = nh.u, nh.v
 
     if uv_budget is not None:
         # rate and the 2D/3D coupling + BC correction (reference:

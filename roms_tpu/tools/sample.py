@@ -38,6 +38,30 @@ def _zslice_np(f3, z_r3, depths):
     return out
 
 
+def _ipslice_np(f3, rho3, sigmas):
+    """Interpolate (nz, ny, nx) f onto constant-density (sigma-t-like)
+    surfaces (reference: Tools-Roms/zslice.F "ipslice" invocation name:
+    the same program interpolates to isopycnals when given rho targets).
+    rho decreases upward (k=0 is the sea floor here); NaN where the
+    surface outcrops or grounds."""
+    nz = f3.shape[0]
+    out = np.full((len(sigmas),) + f3.shape[1:], np.nan, np.float64)
+    jj, ii = np.meshgrid(np.arange(f3.shape[1]), np.arange(f3.shape[2]),
+                         indexing="ij")
+    for s_i, sg in enumerate(sigmas):
+        # levels denser than the target, counted from the bottom
+        denser = (rho3 >= sg).sum(axis=0)
+        k0 = np.clip(denser - 1, 0, nz - 2)
+        k1 = k0 + 1
+        r0 = rho3[k0, jj, ii]
+        r1 = rho3[k1, jj, ii]
+        w = np.where(r1 != r0, (sg - r0) / (r1 - r0), 0.0)
+        val = (1 - w) * f3[k0, jj, ii] + w * f3[k1, jj, ii]
+        ok = (sg <= rho3[0]) & (sg >= rho3[-1])
+        out[s_i] = np.where(ok, val, np.nan)
+    return out
+
+
 def _bilinear(f2, px, py):
     i0 = np.clip(np.floor(px).astype(int), 0, f2.shape[-1] - 2)
     j0 = np.clip(np.floor(py).astype(int), 0, f2.shape[-2] - 2)
@@ -56,6 +80,9 @@ def main(argv=None):
                     "(reference: Tools-Roms sample + zslice)")
     p.add_argument("histfile")
     p.add_argument("--var", required=True)
+    p.add_argument("--sigmas", nargs="*", type=float, default=[],
+                   help="isopycnal targets (density anomaly values of the "
+                        "'rho' variable) -> <var>.ipslice.nc")
     p.add_argument("--depths", nargs="*", type=float, default=[],
                    help="depths [m] for horizontal slices")
     p.add_argument("--points", nargs="*", default=[],
@@ -86,6 +113,19 @@ def main(argv=None):
                 w.create_var("depth", ("depth",))
                 w.write("depth", np.asarray(a.depths, np.float64))
                 w.create_var(a.var, ("depth", "eta", "xi"))
+                w.write(a.var, sl)
+            print(f"wrote {out}")
+        if a.sigmas:
+            rho = np.asarray(ds["rho"][rec], np.float64)
+            sl = _ipslice_np(f, rho, a.sigmas)
+            out = a.out or (a.histfile + f".{a.var}.ipslice.nc")
+            with NCWriter(out, attrs={"source": a.histfile}) as w:
+                w.create_dim("sigma", len(a.sigmas))
+                w.create_dim("eta", sl.shape[1])
+                w.create_dim("xi", sl.shape[2])
+                w.create_var("sigma", ("sigma",))
+                w.write("sigma", np.asarray(a.sigmas, np.float64))
+                w.create_var(a.var, ("sigma", "eta", "xi"))
                 w.write(a.var, sl)
             print(f"wrote {out}")
         if a.points:

@@ -32,6 +32,7 @@ _SLOW_MODULES = {
     "test_realcases_regression",
     "test_distributed_realcase",
     "test_invariance",
+    "test_nested_flow",
 }
 
 
@@ -41,6 +42,10 @@ def pytest_collection_modifyitems(config, items):
         if item.module.__name__ in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
 # persistent compile cache: the big stepper program compiles once per machine
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_roms_tpu")
+# NOTE: the persistent compilation cache is deliberately NOT enabled for
+# the test suite: entries half-written by timed-out/killed runs make the
+# zstandard reader abort() the whole process mid-suite (observed thrice on
+# this host).  Each pytest process compiles fresh; the perf tools
+# (bench/roofline/profile_*) still opt in individually.
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -93,3 +93,33 @@ def test_pad_helpers():
     pb = pad_bry(b, cfg)
     assert pb.shape == (cfg.ny + 4,)
     np.testing.assert_array_equal(pb[2:-2], b)
+
+
+def test_qcorrection_restores_sst():
+    """QCORRECTION: stflx(itemp) = -dSSTdt*(SST_model - sst_data) pulls
+    the surface temperature toward the data; SFLX_CORR likewise adds the
+    salinity restoring (reference: surf_flux.F:140-163)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.driver import run
+
+    cfg = obc_basin.config("closed", ntimes=4).replace(
+        nx=12, ny=12, nz=4, ndtfast=10, salinity=True, nt=2,
+        qcorrection=True, sflx_corr=True,
+        dsstdt=5.0e-4, dsssdt=5.0e-4)
+    grid, st, frc = obc_basin.setup(cfg)
+    t0 = jnp.concatenate([st.t[:1], jnp.full_like(st.t[:1], 35.0)])
+    st = st.replace(t=t0, t_prev=t0)
+    jy, ix = cfg.ny + 4, cfg.nx + 4
+    frc = frc.replace(sst=jnp.full((jy, ix), 5.0),     # colder than T=1? no:
+                      sss=jnp.full((jy, ix), 30.0))    # fresher than S=35
+    # model T=1, data SST=5 -> heating; model S=35, data 30 -> freshening
+    s1, _ = run(grid, st, frc, cfg, nsteps=4, collect_diag=False)
+    cfg_off = cfg.replace(qcorrection=False, sflx_corr=False)
+    s0, _ = run(grid, st, frc, cfg_off, nsteps=4, collect_diag=False)
+    dT = np.asarray(s1.t[0, -1, 6, 6] - s0.t[0, -1, 6, 6])
+    dS = np.asarray(s1.t[1, -1, 6, 6] - s0.t[1, -1, 6, 6])
+    assert dT > 1e-6          # warmed toward the data
+    assert dS < -1e-6         # freshened toward the data

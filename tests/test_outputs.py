@@ -138,3 +138,38 @@ def test_frc_and_random_writers(tmp_path):
     with open_dataset(rp) as ds:
         assert ds["u"].shape == (2, cfg.nz, cfg.ny + 2, cfg.nx + 2)
         assert np.isfinite(ds["zeta"][...]).all()
+
+
+def test_tracer_metadata_table(tmp_path):
+    """Per-tracer output metadata + wrt flags (reference:
+    src/tracers.opt:36-67): names/units land in the file, wrt=False
+    drops a tracer, and BGC tracers get their model names."""
+    import numpy as np
+
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.io.netcdf import open_dataset
+    from roms_tpu.io.output import HistoryWriter, TracerMeta, tracer_table
+
+    cfg = obc_basin.config("closed", ntimes=1).replace(
+        nx=8, ny=8, nz=4, nt=3, salinity=True)
+    grid, st, frc = obc_basin.setup(cfg)
+    rows = tracer_table(cfg)
+    assert rows[0].name == "temp" and rows[0].units == "Celsius"
+    assert rows[1].name == "salt"
+    rows[2:] = [TracerMeta(name="dye", long_name="dye tracer",
+                           units="kg meter-3", wrt=True)]
+    rows[1] = TracerMeta(name="salt", wrt=False)     # drop salinity
+    p = str(tmp_path / "his_meta.nc")
+    hw = HistoryWriter(p, grid, cfg, tracers=rows)
+    hw.write(st)
+    hw.close()
+    with open_dataset(p) as ds:
+        assert "dye" in ds.variables and "temp" in ds.variables
+        assert "salt" not in ds.variables
+        assert ds["temp"].attrs.get("units") == "Celsius"
+        assert np.isfinite(ds["dye"][...]).all()
+
+    # BGC names come from the registered model
+    cfg_b = cfg.replace(nt=2 + 29, bgc_model="bec2", n_bgc=29)
+    names = [t.name for t in tracer_table(cfg_b)]
+    assert "DIC" in names and "Alk" in names and "O2" in names

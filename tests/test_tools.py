@@ -96,3 +96,67 @@ def test_sample_cli(tmp_path):
         assert v.shape[0] == 1 and np.isfinite(v).any()
     rc = sample_main([hp, "--var", "zeta", "--points", "5.5,5"])
     assert rc == 0
+
+
+def test_ipslice_cli(tmp_path):
+    """Isopycnal slicing (reference: Tools-Roms/zslice.F ipslice mode):
+    a linearly-stratified column sliced at a mid-column density value
+    recovers the field at that density's depth."""
+    import numpy as np
+
+    from roms_tpu.io.netcdf import NCWriter, open_dataset
+    from roms_tpu.tools.sample import main as sample_main
+
+    nz, ny, nx = 8, 6, 7
+    hp = str(tmp_path / "his.nc")
+    zr = np.linspace(-95.0, -5.0, nz)[:, None, None] * np.ones((1, ny, nx))
+    rho = 2.0 - 0.01 * zr                  # denser down; range ~[2.05,2.95]
+    temp = 10.0 + 0.1 * zr
+    with NCWriter(hp, attrs={}) as w:
+        w.create_dim("time", None)
+        w.create_dim("s_rho", nz)
+        w.create_dim("eta", ny)
+        w.create_dim("xi", nx)
+        for nm, a in (("temp", temp), ("rho", rho), ("z_r", zr)):
+            w.create_var(nm, ("time", "s_rho", "eta", "xi"))
+            w.write(nm, a, rec=0)
+    out = str(tmp_path / "ip.nc")
+    rc = sample_main([hp, "--var", "temp", "--sigmas", "2.5", "-o", out])
+    assert rc == 0
+    with open_dataset(out) as ds:
+        v = np.asarray(ds["temp"][...])
+    # rho = 2.5 sits at z = -50 -> temp = 5.0
+    assert np.allclose(v[0], 5.0, atol=1e-6)
+
+
+def test_nc3to4z_roundtrip(tmp_path):
+    """nc3to4z (reference: Tools-Roms/nc3to4z.F): the compressed
+    NetCDF-4/HDF5 copy holds identical data and is smaller for
+    compressible content."""
+    import os
+
+    import numpy as np
+
+    from roms_tpu.io.netcdf import NCWriter, open_dataset
+    from roms_tpu.tools.nc3to4z import main as nc3to4z_main
+
+    p = str(tmp_path / "raw.nc")
+    rng = np.random.default_rng(0)
+    big = np.repeat(rng.standard_normal((40, 50)), 8, axis=0)  # compressible
+    with NCWriter(p, attrs={"title": "t"}) as w:
+        w.create_dim("time", None)
+        w.create_dim("y", big.shape[0])
+        w.create_dim("x", big.shape[1])
+        w.create_var("f", ("time", "y", "x"), "f8", {"units": "m"})
+        for r in range(3):
+            w.write("f", big * (r + 1), rec=r)
+    rc = nc3to4z_main([p, "--level", "6"])
+    assert rc == 0
+    out = p + ".nc4"
+    with open_dataset(out) as ds:
+        got = np.asarray(ds["f"][...])
+        assert ds["f"].attrs.get("units") in ("m", b"m")
+    with open_dataset(p) as ds0:
+        ref = np.asarray(ds0["f"][...])
+    np.testing.assert_array_equal(got, ref)
+    assert os.path.getsize(out) < 0.8 * os.path.getsize(p)
