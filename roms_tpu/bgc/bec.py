@@ -500,11 +500,21 @@ def make_surface_flux(names: Tuple[str, ...]):
         # wind-speed-dependent piston velocities (reference:
         # bec2_driver.F:194 XKW = a*ws^2, then sqrt(660/Sc) per gas);
         # ws comes from bulk wspd when the case carries it, else from the
-        # kinematic stress via the reference's WS() inversion (the caller
-        # injects "wspd" either way; a missing entry means no wind ->
-        # no gas exchange, exactly like the reference at calm)
+        # kinematic stress via the reference's WS() inversion — the stepper
+        # injects "wspd" on every path.  A caller that omits it gets ZERO
+        # gas exchange (calm-air limit), which is almost never intended
+        # from a direct surface_flux call: warn once rather than silently
+        # losing the air-sea O2/CO2 fluxes (round-4 advisor finding).
         ws = forc.get("wspd")
         if ws is None:
+            import warnings
+            warnings.warn(
+                "BEC surface_flux called without a 'wspd' forcing entry: "
+                "air-sea O2/CO2 gas exchange is ZERO (calm-air limit). "
+                "Pass wspd (10 m wind speed, m/s) — the model stepper "
+                "injects it automatically; direct callers must supply it "
+                "or pass wspd=0 explicitly to silence this warning.",
+                stacklevel=2)
             ws = jnp.zeros_like(temp)
         kw_o2 = gas_transfer_velocity(ws, schmidt_o2(temp))
         kw_co2 = gas_transfer_velocity(ws, schmidt_co2(temp))

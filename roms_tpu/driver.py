@@ -14,14 +14,30 @@ from roms_tpu.ops.weights import set_weights
 from roms_tpu.stepper import step
 
 
+def _accepts_state(fn) -> bool:
+    """Does the set_forces hook take the 3-arg form f(t, base, state)?
+    Decided by signature, not by a TypeError try/except — an AttributeError
+    raised *inside* a 3-arg hook must propagate, not silently demote the
+    call to the 2-arg form."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True
+    kinds = [p.kind for p in sig.parameters.values()]
+    npos = sum(k in (inspect.Parameter.POSITIONAL_ONLY,
+                     inspect.Parameter.POSITIONAL_OR_KEYWORD) for k in kinds)
+    return npos >= 3 or inspect.Parameter.VAR_POSITIONAL in kinds
+
+
 def _call_forcing_fn(fn, t, forcing, state):
     """set_forces hook: prefer the 3-arg form f(t, base, state) (bulk
     forcing needs SST, reference: bulk_frc.F uses t(:,:,N,nrhs,itemp));
     fall back to the legacy 2-arg form."""
-    try:
+    if _accepts_state(fn):
         return fn(t, forcing, state)
-    except TypeError:
-        return fn(t, forcing)
+    return fn(t, forcing)
 
 
 def _diag_due(iic: int, ninfo: int) -> bool:
@@ -115,14 +131,17 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
     mesh (reference: every rank re-reads/interpolates forcing each step,
     roms_read_write.F:303-652 set_frc_data_* called from set_forces,
     main.F:385-386).  Called on the HOST each step as
-    `forcing_fn(time_seconds, base_global_forcing, None)` with the
+    `forcing_fn(time_seconds, base_global_forcing, state_view)` with the
     padded-GLOBAL base forcing (exactly as in the single-device driver);
     the returned global Forcing is converted to block-halo layout and
     device_put with the mesh sharding.  The model time is tracked
-    host-side (t0 + i*dt) so the hook costs no device sync.  The `state`
-    argument of 3-arg hooks is passed as None: hooks that need the live
-    SST (bulk forcing) operate on global arrays and would need a gather —
-    such cases must precompute or use the 2-arg form.
+    host-side (t0 + i*dt) so the hook costs no device sync.  For 3-arg
+    hooks `state_view` is a SURFACE-ONLY padded-global view of the live
+    state: `.t` is (nt, 1, ...) and `.u`/`.v` are (1, ...) holding the top
+    sigma level, so `st.t[itemp, -1]` / `st.u[-1]` read exactly as on the
+    full state — this is what bulk forcing needs (reference: bulk_frc.F
+    consumes t(:,:,N,nrhs,itemp) and the surface u,v only).  Hooks tagged
+    `forcing_fn.needs_state = False` skip the (cheap, 2D) gather.
 
     Returns (state_padded_global_numpy, diag_rows).
     """
@@ -162,6 +181,18 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
         if blowup_check:
             check_blowup(row[1:], iic, error_log=error_log)
 
+    pass_state = (forcing_fn is not None and _accepts_state(forcing_fn)
+                  and getattr(forcing_fn, "needs_state", True))
+
+    def surface_view(st_b):
+        """Gather the top sigma level of t/u/v to padded-global numpy —
+        the only live-state fields a set_forces hook consumes (bulk
+        forcing SST + surface currents, reference: bulk_frc.F:150-170)."""
+        from types import SimpleNamespace
+        surf = from_blocked({"t": st_b.t[:, -1:], "u": st_b.u[-1:],
+                             "v": st_b.v[-1:]}, mesh, h, pads=pads)
+        return SimpleNamespace(**surf)
+
     t0 = float(state.time)
     if timers is not None:
         timers.tic("step")
@@ -169,8 +200,9 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
     for i in range(nsteps):
         fn = step_first if i == 0 else step_rest
         if forcing_fn is not None:
+            st_view = surface_view(state_b) if pass_state else None
             frc = _call_forcing_fn(forcing_fn, t0 + i * cfg.dt, forcing,
-                                   None)
+                                   st_view)
             frc_b = to_blocked(frc, mesh, h, pads=pads)
         else:
             frc_b = forcing_b

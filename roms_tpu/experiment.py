@@ -314,6 +314,10 @@ def assemble(infile: str, base_cfg: ModelConfig,
             frc = frc.replace(cdr=cdr)
         return frc
 
+    # run_distributed gathers a surface-state view for 3-arg hooks only
+    # when the hook actually reads it; only the bulk path does here.
+    forcing_fn.needs_state = bool(bulk_series)
+
     return Experiment(cfg=cfg, grid=grid, state=state, forcing0=forcing0,
                       forcing_fn=forcing_fn, rc=rc, tides=tidal,
                       title=rc.paths.get("title", ""),

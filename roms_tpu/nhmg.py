@@ -30,12 +30,21 @@ distances as coefficients,
 
 so the corrected volume-flux divergence equals the CG residual EXACTLY
 (same discrete operators), and "solver converged" == "flow is
-non-divergent".  Deviation from the reference (documented): the
-sigma-coordinate slope cross-terms of NHMG's full matrices
-(mg_define_matrices.f90) are dropped — the operator is the orthogonal
-approximation, adequate at the gentle slopes ROMS resolves and exact for
-level coordinates.  The reference ships NHMG disabled; this solver is
-likewise off by default (cfg.non_hydrostatic).
+non-divergent".  Deviations from the reference (documented):
+
+  1. the sigma-coordinate slope cross-terms of NHMG's full matrices
+     (mg_define_matrices.f90) are dropped — the operator is the orthogonal
+     approximation, adequate at the gentle slopes ROMS resolves and exact
+     for level coordinates;
+  2. w is not prognostic: the stepper passes a zero trial w and discards
+     nh.w (the model's w stays diagnostic via omega/wvlcty), so the
+     non-divergence guarantee covers (u, v, nh.w) — not (u, v) combined
+     with the model's recomputed vertical velocity.  The projection is a
+     horizontal-divergence damping valid in the weakly-non-hydrostatic
+     regime; a faithful NHMG coupling needs a stepped w carried in state.
+
+The reference ships NHMG disabled; this solver is likewise off by default
+(cfg.non_hydrostatic).
 """
 
 from __future__ import annotations

@@ -399,7 +399,14 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # non-hydrostatic pressure projection on the corrected horizontal
     # velocities (reference: the NHMG coupling of step3d_uv2 when the
     # NHMG cppkey is on; the library ships disabled and so does this
-    # flag — roms_tpu/nhmg.py documents the solver and its deviation)
+    # flag — roms_tpu/nhmg.py documents the solver and its deviations).
+    # DEVIATION (documented, advisor r4): the trial vertical velocity is
+    # zero and nh.w is discarded — w here is purely diagnostic (recomputed
+    # from continuity by omega/wvlcty), not prognostic as in the reference
+    # NHMG, so 'converged == non-divergent' holds for (u,v,nh.w) but NOT
+    # for (u,v) together with the model's recomputed w.  The projection
+    # therefore acts as a horizontal-divergence damping, valid only in the
+    # weakly-non-hydrostatic regime; see roms_tpu/nhmg.py module docstring.
     if cfg.non_hydrostatic:
         from roms_tpu import nhmg
         w0 = jnp.zeros((cfg.nz + 1,) + u_new.shape[1:], u_new.dtype)

@@ -370,3 +370,41 @@ def test_init_multihost_single_process_smoke():
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True, timeout=300)
     assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_forcing_fn_receives_surface_state_view():
+    """A 3-arg set_forces hook (bulk forcing shape: reads the model SST and
+    surface currents) must receive a live surface-state view under
+    run_distributed — round-4 advisor finding: it received None and
+    crashed with AttributeError at the first step (reference: bulk_frc.F
+    consumes t(:,:,N,nrhs,itemp) + surface u,v on every rank every step)."""
+    from roms_tpu.cases import obc_basin
+    from roms_tpu.driver import run, run_distributed
+
+    cfg = obc_basin.config("inflow", ntimes=3).replace(
+        nx=16, ny=16, nz=6, dt=60.0, ndtfast=20)
+    grid, st, frc = obc_basin.setup(cfg, inflow_u=0.1, t_inflow=2.0)
+
+    seen = {"none": 0}
+
+    def forcing_fn(t, base, state):
+        # SST-dependent heat flux: the distributed and single-device runs
+        # only agree if the distributed hook sees the same live surface.
+        if state is None:
+            seen["none"] += 1
+            return base
+        sst = np.asarray(state.t[cfg.itemp, -1])
+        stflx = base.stflx.at[cfg.itemp].set(
+            jnp.asarray(1e-4 * (20.0 - sst), base.stflx.dtype))
+        return base.replace(stflx=stflx)
+
+    s1, _ = run(grid, st, frc, cfg, nsteps=3, forcing_fn=forcing_fn)
+    sd, _ = run_distributed(grid, st, frc, cfg, make_mesh(8), nsteps=3,
+                            forcing_fn=forcing_fn)
+    assert seen["none"] == 0, "distributed hook was passed state=None"
+    for name in ("zeta", "t", "u", "v"):
+        a = np.asarray(getattr(s1, name))[..., H:-H, H:-H]
+        b = np.asarray(getattr(sd, name))[..., H:-H, H:-H]
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, atol=1e-11 * scale, rtol=0,
+                                   err_msg=name)
