@@ -153,8 +153,11 @@ def _fill_phys_edges_2d(a, cfg: ModelConfig, grid=None):
     return a
 
 
-def _wscale_ws(zscale, bfsfc, ustar, hbl, rmask, cfg: ModelConfig):
-    """Turbulent velocity scale ws (reference: src/lmd_wscale_ws_only.h)."""
+def _wscale_ws(zscale, bfsfc, ustar, hbl, rmask, cfg: ModelConfig,
+               cbrt=jnp.cbrt):
+    """Turbulent velocity scale ws (reference: src/lmd_wscale_ws_only.h).
+    cbrt is injectable: the Pallas kernel substitutes an exp/log form
+    (Mosaic has no cbrt lowering)."""
     zscale = jnp.minimum(zscale, hbl * EPSSFC)
     if cfg.masking:
         zscale = zscale * rmask
@@ -165,12 +168,13 @@ def _wscale_ws(zscale, bfsfc, ustar, hbl, rmask, cfg: ModelConfig):
     ws_unst = cfg.von_karman * jnp.sqrt(
         jnp.maximum((ustar3 - 16.0 * zetahat) / jnp.maximum(ustar, EPS_KPP),
                     0.0))
-    ws_conv = cfg.von_karman * jnp.cbrt(A_S * ustar3 - C_S * zetahat)
+    ws_conv = cfg.von_karman * cbrt(A_S * ustar3 - C_S * zetahat)
     return jnp.where(zetahat >= 0.0, ws_stable,
                      jnp.where(zetahat > ZETA_S * ustar3, ws_unst, ws_conv))
 
 
-def _wscale_wm_ws(zscale, bfsfc, ustar, hbl, rmask, cfg: ModelConfig):
+def _wscale_wm_ws(zscale, bfsfc, ustar, hbl, rmask, cfg: ModelConfig,
+                  cbrt=jnp.cbrt):
     """Both wm and ws (reference: src/lmd_wscale_wm_and_ws.h)."""
     zscale = jnp.minimum(zscale, hbl * EPSSFC)
     if cfg.masking:
@@ -181,10 +185,10 @@ def _wscale_wm_ws(zscale, bfsfc, ustar, hbl, rmask, cfg: ModelConfig):
         ustar3 + 5.0 * zetahat, EPS_KPP)
     wm_unst = cfg.von_karman * (jnp.maximum(
         ustar * (ustar3 - 16.0 * zetahat), 0.0)) ** 0.25
-    wm_conv = cfg.von_karman * jnp.cbrt(A_M * ustar3 - C_M * zetahat)
+    wm_conv = cfg.von_karman * cbrt(A_M * ustar3 - C_M * zetahat)
     ws_unst = cfg.von_karman * jnp.sqrt(jnp.maximum(
         (ustar3 - 16.0 * zetahat) / jnp.maximum(ustar, EPS_KPP), 0.0))
-    ws_conv = cfg.von_karman * jnp.cbrt(A_S * ustar3 - C_S * zetahat)
+    ws_conv = cfg.von_karman * cbrt(A_S * ustar3 - C_S * zetahat)
     wm = jnp.where(zetahat >= 0.0, w_stable,
                    jnp.where(zetahat > ZETA_M * ustar3, wm_unst, wm_conv))
     ws = jnp.where(zetahat >= 0.0, w_stable,

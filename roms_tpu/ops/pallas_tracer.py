@@ -72,10 +72,15 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
             uma_ref, umb_ref, vma_ref, vmb_ref,
             tsec_ref, hza_ref, hzb_ref, we_ref, wi_ref, akt_ref,
             pmn_ref, rmask_ref, stflx_ref,
-            out_ref,
-            *, cfg: ModelConfig, scheme: AdvScheme, dtau: float,
+            *rest,
+            cfg: ModelConfig, scheme: AdvScheme, dtau: float,
             c_tk: float, c_sec: float, apply_mask: bool, surface: bool,
-            mode: str, ix: int, nz: int, jy: int):
+            mode: str, ix: int, nz: int, jy: int, mix: bool):
+    if mix:
+        (d2a_ref, d2b_ref, hzma_ref, hzmb_ref, pua_ref, pub_ref,
+         pva_ref, pvb_ref, out_ref) = rest
+    else:
+        out_ref, = rest
     r = pl.program_id(0)
     r0 = r * BJ
     bj = BJ
@@ -233,26 +238,60 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
         cf_s[c] = cff * (fcv[c] - wc_m[c])
         dc_s[c] = cff * (rhs[c] + extra)
 
+    # ---- fused t3dmix lateral diffusion (reference: t3dmix_S.F:45-99) ---
+    # The diffusive fluxes are built from the SAME t_half window `tkw`
+    # (nrhs = n+1/2) — not from the solved t_new — so the tendency has no
+    # cross-column dependency on this kernel's output and fuses for free:
+    # it is simply added to each solved level on the way out, saving the
+    # separate read-modify-write pass over the (nt, nz, jy, ix) state
+    # that the jnp epilogue cost (~19 ms at the production bench size).
+    tend = None
+    if mix:
+        d2w = jnp.concatenate([d2a_ref[0], d2b_ref[0]],
+                              axis=-2)[:bj + 4, :]
+        hzm = jnp.concatenate([hzma_ref[:], hzmb_ref[:]],
+                              axis=-2)[:, :bj + 4, :]
+        pu = jnp.concatenate([pua_ref[:], pub_ref[:]], axis=-2)[:bj + 4, :]
+        pv = jnp.concatenate([pva_ref[:], pvb_ref[:]], axis=-2)[:bj + 4, :]
+
+        def shm(a, dj=0, di=0):
+            if dj != 0 and di != 0:
+                return jnp.roll(a, shift=(-dj, -di), axis=(-2, -1))
+            if dj != 0:
+                return jnp.roll(a, shift=-dj, axis=-2)
+            return jnp.roll(a, shift=-di, axis=-1)
+
+        fxm = (0.25 * (d2w + shm(d2w, 0, -1))[None] * pu[None]
+               * (hzm + shm(hzm, 0, -1)) * (tkw - shm(tkw, 0, -1)))
+        fem = (0.25 * (d2w + shm(d2w, -1, 0))[None] * pv[None]
+               * (hzm + shm(hzm, -1, 0)) * (tkw - shm(tkw, -1, 0)))
+        if cfg.masking:
+            fxm = fxm * um[None]
+            fem = fem * vm[None]
+        divm = shm(fxm, 0, 1) - fxm + shm(fem, 1, 0) - fem
+        tend3 = (dtau * pmn[None] * divm[:, rows_o, cols_o] / hz_spl3)
+        tend = [tend3[k] for k in range(nz)]
+
     mask = rmask_ref[:] if (apply_mask and cfg.masking) else None
     t_top = ((rhs[nz - 1] + dc_s[nz - 2] * (fcv[nz - 2] + wc_p[nz - 2]))
              / (hz_imp[nz - 1] + fcv[nz - 2] - wc_m[nz - 2]
                 - cf_s[nz - 2] * (fcv[nz - 2] + wc_p[nz - 2])))
     if mask is not None:
         t_top = t_top * mask
-    out_ref[0, nz - 1] = t_top
+    out_ref[0, nz - 1] = (t_top + tend[nz - 1]) if mix else t_top
     t_above = t_top
     for c in range(nz - 2, -1, -1):
         t_c = dc_s[c] + cf_s[c] * t_above
         if mask is not None:
             t_c = t_c * mask
-        out_ref[0, c] = t_c
+        out_ref[0, c] = (t_c + tend[c]) if mix else t_c
         t_above = t_c
 
 
 def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
                  pmn, rmask, umask, vmask, cfg: ModelConfig,
                  scheme: AdvScheme, dtau: float, c_tk: float, c_sec: float,
-                 apply_mask: bool, mode: str, stflx=None):
+                 apply_mask: bool, mode: str, stflx=None, mix=None):
     """Fused tracer stage over all tracers -> t_new (nt, nz, jy, ix).
 
     mode='pred':  hz_a=Hz(n), hz_b=flx_div  (Hz_bak/Hz_fwd derived);
@@ -260,10 +299,15 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
     akt: the RAW mixing table (n_akt, nz+1, jy, ix); tracer i uses row
     min(i, i_t_and_s-1) (reference: src/tracers.F iTandS clamp) via the
     block index map — no nt-sized gather is materialized.
+    mix (corr mode only): fused t3dmix inputs — a dict with
+    diff2 (nt, jy, ix), pmon_u, pnom_v (2D); the diffusive tendency from
+    the t_half window is added to the solved tracers in-kernel
+    (reference: t3dmix_S.F, called right after the corrector in main.F).
     """
     nt, nz, jy, ix = tk.shape
     dtype = tk.dtype
     surface = stflx is not None
+    assert mix is None or mode == "corr"
 
     jy_p = -(-jy // BJ) * BJ
     nj = jy_p // BJ
@@ -296,6 +340,7 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
     rpad = lambda a: jnp.pad(
         a, [(0, 0)] * (a.ndim - 2) + [(0, jy_p - jy), (0, 0)],
         mode="edge") if jy_p != jy else a
+    hz_b_raw = hz_b                      # pre-rpad (wrap_w needs true rows)
     t_sec = rpad(t_sec); hz_a = rpad(hz_a); hz_b = rpad(hz_b)
     we = rpad(we); wi = rpad(wi); akt = rpad(akt)
     pmn = rpad(pmn); rmask = rpad(rmask)
@@ -316,11 +361,39 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
     jtm1 = lambda r, t: (t, 0, r + 1, 0)
     jm2d = lambda r, t: (r, 0)
     jm2d1 = lambda r, t: (r + 1, 0)
+    jtm_2d3 = lambda r, t: (t, r, 0)      # (nt, rows, cols) leaves
+    jtm1_2d3 = lambda r, t: (t, r + 1, 0)
+    jm3w = jm
+    jm3w1 = jm1
+
+    mix_inputs = []
+    mix_specs = []
+    if mix is not None:
+        # wrap-padded double views for the diffusion stencil (reach 1 in
+        # each direction; hz_b re-passed wrapped because its plain form
+        # above is row-unpadded); all are t-independent except diff2, so
+        # the pipeline fetches them once per row block
+        d2_w = wrap_w(mix["diff2"])
+        hzm_w = wrap_w(hz_b_raw)
+        pu_w = wrap_w(mix["pmon_u"])
+        pv_w = wrap_w(mix["pnom_v"])
+        mix_inputs = [d2_w, d2_w, hzm_w, hzm_w, pu_w, pu_w, pv_w, pv_w]
+        mix_specs = [
+            pl.BlockSpec((1, BJ, ix + 4), jtm_2d3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BJ, ix + 4), jtm1_2d3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nz, BJ, ix + 4), jm3w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nz, BJ, ix + 4), jm3w1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BJ, ix + 4), jm2d, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BJ, ix + 4), jm2d1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BJ, ix + 4), jm2d, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BJ, ix + 4), jm2d1, memory_space=pltpu.VMEM),
+        ]
 
     kernel = functools.partial(
         _kernel, cfg=cfg, scheme=scheme, dtau=float(dtau),
         c_tk=float(c_tk), c_sec=float(c_sec), apply_mask=apply_mask,
-        surface=surface, mode=mode, ix=ix, nz=nz, jy=jy)
+        surface=surface, mode=mode, ix=ix, nz=nz, jy=jy,
+        mix=mix is not None)
 
     try:
         comp = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
@@ -354,14 +427,14 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
             pl.BlockSpec((BJ, ix), lambda r, t: (r, 0),
                          memory_space=vspec),
             st_spec,
-        ],
+        ] + mix_specs,
         out_specs=pl.BlockSpec((1, nz, BJ, ix), jtm,
                                memory_space=vspec),
         out_shape=jax.ShapeDtypeStruct((nt, nz, jy_p, ix), dtype),
         compiler_params=comp,
         interpret=_INTERPRET,
     )(tk_w, tk_w, fu_w, fv_w, fv_w, um_w, um_w, vm_w, vm_w,
-      t_sec, hz_a, hz_b, we, wi, akt, pmn, rmask, stflx_in)
+      t_sec, hz_a, hz_b, we, wi, akt, pmn, rmask, stflx_in, *mix_inputs)
     if jy_p != jy:
         out = out[:, :, :jy, :]
     return out

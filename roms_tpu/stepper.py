@@ -63,14 +63,32 @@ def _tracer_divergence(fx, fe, pmn):
 
 
 def _vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
-                 cfg: ModelConfig, first_step: bool):
+                 cfg: ModelConfig, first_step: bool, halo=None):
     """lmd_vmix + lmd_kpp at one time level (reference: main.F:408-410,
     :434-436; src/lmd_vmix.F + src/lmd_kpp.F)."""
     from roms_tpu.ops import kpp
+    if _use_pallas_kpp(cfg, state, halo):
+        from roms_tpu.ops import pallas_kpp
+        return pallas_kpp.vmix_update(state, u, v, t, bvf, z_r, z_w, hz,
+                                      forcing, grid, cfg, first_step)
     kv, kt, ks = kpp.interior_mix(u, v, bvf, z_r, z_w, grid, cfg)
     out = kpp.lmd_kpp(u, v, t, bvf, z_r, z_w, hz, kv, kt, ks, state.swrf,
                       forcing, state.hbls, state.hbbl, grid, cfg, first_step)
     return out
+
+
+def _use_pallas_kpp(cfg: ModelConfig, state, halo) -> bool:
+    """Gate for the fused Pallas vmix kernel: single-block TPU f32 steps
+    (the f64 CPU oracle path and the distributed path keep the jnp engine;
+    interpret mode forces it on for CPU equivalence tests)."""
+    from roms_tpu.ops import pallas_kpp
+    from roms_tpu.parallel.halo import HaloExchange
+    if not pallas_kpp.usable(cfg) or isinstance(halo, HaloExchange):
+        return False
+    if pallas_kpp._INTERPRET:
+        return True
+    return (jax.default_backend() == "tpu"
+            and state.t.dtype == jnp.float32)
 
 
 def _use_pallas_tracer(cfg: ModelConfig, state, halo) -> bool:
@@ -125,7 +143,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
 
     if cfg.lmd_kpp:
         vm = _vmix_update(state, state.u, state.v, state.t, eos_n.bvf,
-                          zr_n, zw_n, hz_n, forcing, grid, cfg, first_step)
+                          zr_n, zw_n, hz_n, forcing, grid, cfg, first_step,
+                          halo=halo)
         akv, akt, hbls, hbbl = vm.akv, vm.akt, vm.hbls, vm.hbbl
         akv, akt = halo(akv), halo(akt)
         # (reference: lmd_kpp.F exchanges hbls/hbbl after smoothing)
@@ -238,7 +257,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     if cfg.lmd_kpp:
         state_h = state.replace(hbls=hbls, hbbl=hbbl)
         vm = _vmix_update(state_h, u_half, v_half, t_half, eos_h.bvf,
-                          zr_n, zw_n, hz_n, forcing, grid, cfg, first_step)
+                          zr_n, zw_n, hz_n, forcing, grid, cfg, first_step,
+                          halo=halo)
         akv, akt, hbls, hbbl, ghat = (vm.akv, vm.akt, vm.hbls, vm.hbbl,
                                       vm.ghat)
         akv, akt = halo(akv), halo(akt)
@@ -471,11 +491,21 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                                         * forcing.stflx[cfg.isalt][None])
                 t_sec_c = t_sec_c.at[cfg.isalt].add(
                     cfg.dt * (gws[1:] - gws[:-1]) / hz_n)
+        mix = None
+        if cfg.ts_dif2 and (cfg.tnu2 != 0.0 or grid.diff2 is not None):
+            # fold t3dmix into the corrector kernel (its fluxes read only
+            # t_half, which is already the stage's stencil window)
+            diff2 = grid.diff2
+            if diff2 is None:
+                diff2 = jnp.full((cfg.nt,) + grid.h.shape, cfg.tnu2,
+                                 t_half.dtype)
+            mix = {"diff2": diff2, "pmon_u": grid.pmon_u,
+                   "pnom_v": grid.pnom_v}
         t_new = pallas_tracer.tracer_stage(
             t_half, t_sec_c, flx_u_c, flx_v_c, hz_n, hz_new, we, wi,
             akt, pmn, grid.rmask, grid.umask, grid.vmask, cfg,
             cfg.ts_corr_scheme, cfg.dt, 0.0, 1.0, True, "corr",
-            stflx=forcing.stflx)
+            stflx=forcing.stflx, mix=mix)
         return _finish_tracers(state, forcing, grid, cfg, halo,
                                t_new, t_half, u_half, v_half,
                                zeta_new, ubar_new, vbar_new,
@@ -483,7 +513,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
                                hz_new, zr_new, zw_new, hz_n,
                                akv, akt, hbls, hbbl, fast,
                                upscale=None, t_budget=None,
-                               uv_budget=uv_budget)
+                               uv_budget=uv_budget,
+                               t3dmix_done=mix is not None)
     fx, fe = adv.horiz_tracer_flux(t_half, flx_u_c, flx_v_c, grid,
                                    cfg, cfg.ts_corr_scheme)
     if cfg.river_source:
@@ -586,14 +617,18 @@ def _finish_tracers(state, forcing, grid, cfg, halo, t_new, t_half,
                     u_new, v_new, flx_u_c, flx_v_c, we, wi,
                     hz_new, zr_new, zw_new, hz_n,
                     akv, akt, hbls, hbbl, fast, upscale, t_budget,
-                    uv_budget):
+                    uv_budget, t3dmix_done=False):
     """Post-corrector tail shared by the jnp and Pallas tracer paths:
     t3dmix → tracer BCs → BGC column physics → halo refresh → final EOS →
-    state assembly (reference: main.F:469-490 tail)."""
+    state assembly (reference: main.F:469-490 tail).
+
+    t3dmix_done: the Pallas corrector already added the lateral-diffusion
+    tendency in-kernel (pallas_tracer.tracer_stage mix=...)."""
     from roms_tpu.ops import bc, eos
 
     # t3dmix lateral diffusion (reference: src/t3dmix_S.F, TS_DIF2)
-    if cfg.ts_dif2 and (cfg.tnu2 != 0.0 or grid.diff2 is not None):
+    if (not t3dmix_done and cfg.ts_dif2
+            and (cfg.tnu2 != 0.0 or grid.diff2 is not None)):
         from roms_tpu.ops.hmix import t3dmix
         t_new = t3dmix(t_new, t_half, hz_new, grid, cfg, diff2=grid.diff2)
 

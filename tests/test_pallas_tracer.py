@@ -179,3 +179,41 @@ def test_full_step_matches_jnp(monkeypatch):
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(b, a, atol=5e-11 * scale, rtol=0,
                                    err_msg=name)
+
+
+def test_corrector_with_fused_t3dmix_matches_jnp():
+    """mix=: the in-kernel t3dmix tendency must equal the jnp epilogue's
+    separate hmix.t3dmix pass applied after the solve (reference:
+    t3dmix_S.F called right after step3d_t, main.F:469-475)."""
+    from roms_tpu.ops.hmix import t3dmix
+
+    (cfg, grid, tk, t_sec, flx_u, flx_v, hz_n, _, hz_new, we, wi, akt,
+     pmn, rmask, umask, vmask, stflx) = _setup(jnp.float64)
+    grid.pmon_u = jnp.asarray(
+        1.0 + 0.1 * np.random.default_rng(7).standard_normal(pmn.shape))
+    grid.pnom_v = jnp.asarray(
+        1.0 + 0.1 * np.random.default_rng(8).standard_normal(pmn.shape))
+    grid.h = jnp.zeros_like(pmn)
+    diff2 = jnp.asarray(
+        0.5 + 0.1 * np.abs(np.random.default_rng(9).standard_normal(
+            (NT,) + pmn.shape)))
+    dtau = 60.0
+
+    ref = _jnp_stage(cfg, grid, tk, t_sec, flx_u, flx_v, hz_n, hz_new,
+                     hz_new, we, wi, akt, pmn, rmask,
+                     AdvScheme.UPSTREAM3, dtau, 0.0, 1.0, True,
+                     stflx=stflx)
+
+    gmix = types.SimpleNamespace(pmon_u=grid.pmon_u, pnom_v=grid.pnom_v,
+                                 umask=umask, vmask=vmask,
+                                 pm=jnp.sqrt(pmn), pn=jnp.sqrt(pmn))
+    cfg_mix = cfg.replace(dt=dtau)
+    ref = t3dmix(ref, tk, hz_new, gmix, cfg_mix, diff2=diff2)
+
+    got = pallas_tracer.tracer_stage(
+        tk, t_sec, flx_u, flx_v, hz_n, hz_new, we, wi, akt, pmn, rmask,
+        umask, vmask, cfg, AdvScheme.UPSTREAM3, dtau, 0.0, 1.0, True,
+        "corr", stflx=stflx,
+        mix={"diff2": diff2, "pmon_u": grid.pmon_u,
+             "pnom_v": grid.pnom_v})
+    _close(got, ref, cfg)
