@@ -91,6 +91,21 @@ def _use_pallas_kpp(cfg: ModelConfig, state, halo) -> bool:
             and state.t.dtype == jnp.float32)
 
 
+def _mom_implicit(halo, rhs, hz_face, akv_face, wi_face, dc0, dtau, sstr,
+                  cfg: ModelConfig, bottom_drag_coeff=None):
+    """Momentum implicit solve dispatcher: the Pallas column kernel on
+    single-block TPU f32 steps, the jnp scan path (f64 oracle) elsewhere."""
+    from roms_tpu.ops import pallas_solve
+    from roms_tpu.parallel.halo import HaloExchange
+    use = (not isinstance(halo, HaloExchange)
+           and (pallas_solve._INTERPRET
+                or (jax.default_backend() == "tpu"
+                    and rhs.dtype == jnp.float32)))
+    fn = pallas_solve.momentum_implicit if use else vmix.momentum_implicit
+    return fn(rhs, hz_face, akv_face, wi_face, dc0, dtau, sstr, cfg,
+              bottom_drag_coeff=bottom_drag_coeff)
+
+
 def _use_pallas_tracer(cfg: ModelConfig, state, halo) -> bool:
     """Gate for the fused Pallas tracer stage: single-block TPU f32 steps
     of coverable configurations (the f64 CPU oracle path and the
@@ -212,13 +227,13 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     hzbak_v = 0.5 * (hz_bak + shift(hz_bak, -1, 0))
     rhs_u = hzbak_u * (cf_stp * state.u + cf_bak * state.u_prev) + dc0_u[None] * ru
     rhs_v = hzbak_v * (cf_stp * state.v + cf_bak * state.v_prev) + dc0_v[None] * rv
-    u_half = vmix.momentum_implicit(
-        rhs_u, 0.5 * (hz_fwd + shift(hz_fwd, 0, -1)),
+    u_half = _mom_implicit(
+        halo, rhs_u, 0.5 * (hz_fwd + shift(hz_fwd, 0, -1)),
         0.5 * (akv + shift(akv, 0, -1)),
         0.5 * (wi + shift(wi, 0, -1)), dc0_u, dtau, forcing.sustr, cfg,
         bottom_drag_coeff=0.5 * (rd + shift(rd, 0, -1)))
-    v_half = vmix.momentum_implicit(
-        rhs_v, 0.5 * (hz_fwd + shift(hz_fwd, -1, 0)),
+    v_half = _mom_implicit(
+        halo, rhs_v, 0.5 * (hz_fwd + shift(hz_fwd, -1, 0)),
         0.5 * (akv + shift(akv, -1, 0)),
         0.5 * (wi + shift(wi, -1, 0)), dc0_v, dtau, forcing.svstr, cfg,
         bottom_drag_coeff=0.5 * (rd + shift(rd, -1, 0)))
@@ -288,13 +303,13 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         grid.pn + shift(grid.pn, -1, 0))
     rd_u = 0.5 * (rd + shift(rd, 0, -1))
     rd_v = 0.5 * (rd + shift(rd, -1, 0))
-    vel_u = vmix.momentum_implicit(
-        hzu_n * state.u + dc0_u_c[None] * ru, hzu_n,
+    vel_u = _mom_implicit(
+        halo, hzu_n * state.u + dc0_u_c[None] * ru, hzu_n,
         0.5 * (akv + shift(akv, 0, -1)),
         0.5 * (wi + shift(wi, 0, -1)), dc0_u_c, cfg.dt, forcing.sustr, cfg,
         bottom_drag_coeff=rd_u)
-    vel_v = vmix.momentum_implicit(
-        hzv_n * state.v + dc0_v_c[None] * rv, hzv_n,
+    vel_v = _mom_implicit(
+        halo, hzv_n * state.v + dc0_v_c[None] * rv, hzv_n,
         0.5 * (akv + shift(akv, -1, 0)),
         0.5 * (wi + shift(wi, -1, 0)), dc0_v_c, cfg.dt, forcing.svstr, cfg,
         bottom_drag_coeff=rd_v)
