@@ -88,7 +88,7 @@ def _sh(a, dj: int = 0, di: int = 0):
     return a
 
 
-def _fill_edges(a, row_g, col_m, jy: int, ix: int, cfg: ModelConfig):
+def _fill_edges(a, row_g, col_m, jy: int, ix: int, cfg: ModelConfig, own):
     """Window form of kpp._fill_phys_edges_2d (zero-gradient copy into the
     physical-edge ghost lines, depth 2; reference: lmd_kpp.F:545-581).
 
@@ -96,25 +96,30 @@ def _fill_edges(a, row_g, col_m, jy: int, ix: int, cfg: ModelConfig):
     rows — conditions test modulo jy so the wrapped copies of filled rows
     match the jnp path's roll of the globally filled array).
     col_m: global column index modulo ix for each window column.
+    own: (own_w, own_e, own_s, own_n) scalar bools — physical-edge
+    ownership of this block (all-true single-block; per-shard flags under
+    shard_map, reference: lmd_kpp.F:545-581 per-rank edge tests).
     """
+    own_w, own_e, own_s, own_n = own
     if not cfg.ew_periodic:
         # west cols 0,1 <- col 2; east cols ix-2, ix-1 <- col ix-3.
         # Window col of global 2 is 4; of ix-3 is ix-1 (static offsets:
         # the window's column origin is fixed at -2).
         west = a[..., :, 4:5]
         east = a[..., :, ix - 1:ix]
-        a = jnp.where((col_m == 0) | (col_m == 1), west, a)
-        a = jnp.where((col_m == ix - 2) | (col_m == ix - 1), east, a)
+        a = jnp.where(((col_m == 0) | (col_m == 1)) & own_w, west, a)
+        a = jnp.where(((col_m == ix - 2) | (col_m == ix - 1)) & own_e,
+                      east, a)
     if not cfg.ns_periodic:
         rm = row_g % jy
         # south rows 0,1 <- row 2 (window-relative +2/+1 rolls; targets
         # sit >= 2 rows below the window top, so the roll never wraps
         # into garbage at a consumed position)
-        a = jnp.where(rm == 1, _sh(a, 1), a)
-        a = jnp.where(rm == 0, _sh(a, 2), a)
+        a = jnp.where((rm == 1) & own_s, _sh(a, 1), a)
+        a = jnp.where((rm == 0) & own_s, _sh(a, 2), a)
         # north rows jy-2, jy-1 <- row jy-3 (never appear as wrap rows)
-        a = jnp.where(rm == jy - 2, _sh(a, -1), a)
-        a = jnp.where(rm == jy - 1, _sh(a, -2), a)
+        a = jnp.where((rm == jy - 2) & own_n, _sh(a, -1), a)
+        a = jnp.where((rm == jy - 1) & own_n, _sh(a, -2), a)
     return a
 
 
@@ -160,10 +165,12 @@ def _sel(values, idx, krange):
 
 def _kernel(ua_ref, ub_ref, va_ref, vb_ref, bvfa_ref, bvfb_ref,
             zra_ref, zrb_ref, zwa_ref, zwb_ref, hza_ref, hzb_ref,
-            swrfa_ref, swrfb_ref, f2a_ref, f2b_ref,
+            swrfa_ref, swrfb_ref, f2a_ref, f2b_ref, own_ref,
             akv_ref, akt_t_ref, akt_s_ref, ghat_ref, hbl2_ref,
             *, cfg: ModelConfig, first_step: bool, jy: int, ix: int,
             nz: int):
+    own = (own_ref[0, 0] > 0.5, own_ref[0, 1] > 0.5,
+           own_ref[0, 2] > 0.5, own_ref[0, 3] > 0.5)
     r = pl.program_id(0)
     r0 = r * BJ
 
@@ -219,7 +226,7 @@ def _kernel(ua_ref, ub_ref, va_ref, vb_ref, bvfa_ref, bvfb_ref,
     dvdz = cffz * (v[1:] - v[:-1] + shv[1:] - shv[:-1])
     rig = bvf[1:nz] / (RI0 * jnp.maximum(dudz ** 2 + dvdz ** 2, 1.0e-10))
 
-    rig = _fill_edges(rig, row_g, col_m, jy, ix, cfg)
+    rig = _fill_edges(rig, row_g, col_m, jy, ix, cfg, own)
     cffs, cff1 = 1.0 / 12.0, 3.0 / 16.0
     fx = rig - _sh(rig, 0, -1)
     fe1 = rig - _sh(rig, -1, 0)
@@ -352,9 +359,9 @@ def _kernel(ua_ref, ub_ref, va_ref, vb_ref, bvfa_ref, bvfb_ref,
         bbl_new = bbl_new * rmask
 
     # ---- SMOOTH_HBL + time filter (lmd_kpp.F:312-349) -------------------
-    hbl_new = _smooth(_fill_edges(hbl_new, row_g, col_m, jy, ix, cfg),
+    hbl_new = _smooth(_fill_edges(hbl_new, row_g, col_m, jy, ix, cfg, own),
                       umask, vmask, rmask, cfg, apply_rmask=True)
-    bbl_new = _smooth(_fill_edges(bbl_new, row_g, col_m, jy, ix, cfg),
+    bbl_new = _smooth(_fill_edges(bbl_new, row_g, col_m, jy, ix, cfg, own),
                       umask, vmask, rmask, cfg, apply_rmask=True)
     if not first_step:
         hbl_new = 0.5 * (hbl_new + hbls_old)
@@ -465,6 +472,11 @@ def vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
         grid.vmask if cfg.masking else ones2,
         state.hbls, state.hbbl], axis=0)
 
+    ownf = (grid.own_w, grid.own_e, grid.own_s, grid.own_n)
+    own_in = jnp.stack(
+        [jnp.asarray(f, jnp.float32) if f is not None else jnp.float32(1.0)
+         for f in ownf]).reshape(1, 4)
+
     u_w, v_w, bvf_w = wrap(u), wrap(v), wrap(bvf)
     zr_w, zw_w, hz_w = wrap(z_r), wrap(z_w), wrap(hz)
     swrf_w, f2_w = wrap(state.swrf), wrap(f2)
@@ -499,6 +511,8 @@ def vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
             spec3(nz), spec3(nz, True),            # hz
             spec3(nz + 1), spec3(nz + 1, True),    # swrf
             spec3(13), spec3(13, True),            # stacked 2D fields
+            pl.BlockSpec((1, 4), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),  # ownership flags
         ],
         out_specs=(out_spec3, out_spec3, out_spec3, out_spec3,
                    pl.BlockSpec((2, BJ, ix), lambda r: (0, r, 0),
@@ -513,7 +527,7 @@ def vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
         compiler_params=comp,
         interpret=_INTERPRET,
     )(u_w, u_w, v_w, v_w, bvf_w, bvf_w, zr_w, zr_w, zw_w, zw_w,
-      hz_w, hz_w, swrf_w, swrf_w, f2_w, f2_w)
+      hz_w, hz_w, swrf_w, swrf_w, f2_w, f2_w, own_in)
 
     if jy_p != jy:
         akv, akt_t, akt_s, ghat = (a[:, :jy] for a in

@@ -62,7 +62,10 @@ _INTERPRET = os.environ.get("ROMS_TPU_PALLAS", "") == "interpret"
 
 def usable(cfg: ModelConfig) -> bool:
     """Whether the fused kernel covers this configuration's tracer stage."""
-    return (not cfg.river_source and not cfg.pipe_source
+    # pipe sources fold into t_sec at the call site (stepper); river
+    # sources modify the advective face fluxes inside the stencil and
+    # stay on the jnp engine
+    return (not cfg.river_source
             and not cfg.adv_isoneutral and not cfg.upscale_output
             and not cfg.tracer_diagnostics
             and cfg.pad_e == 0 and cfg.pad_n == 0)
@@ -71,7 +74,7 @@ def usable(cfg: ModelConfig) -> bool:
 def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
             uma_ref, umb_ref, vma_ref, vmb_ref,
             tsec_ref, hza_ref, hzb_ref, we_ref, wi_ref, akt_ref,
-            pmn_ref, rmask_ref, stflx_ref,
+            pmn_ref, rmask_ref, stflx_ref, own_ref,
             *rest,
             cfg: ModelConfig, scheme: AdvScheme, dtau: float,
             c_tk: float, c_sec: float, apply_mask: bool, surface: bool,
@@ -81,6 +84,13 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
          pva_ref, pvb_ref, out_ref) = rest
     else:
         out_ref, = rest
+    # physical-edge ownership (1.0 on shards whose block touches that
+    # domain edge; all-ones single-block — reference: per-rank
+    # WESTERN_EDGE etc. tests, src/compute_horiz_tracer_fluxes.h:74-83)
+    own_w = own_ref[0, 0] > 0.5
+    own_e = own_ref[0, 1] > 0.5
+    own_s = own_ref[0, 2] > 0.5
+    own_n = own_ref[0, 3] > 0.5
     r = pl.program_id(0)
     r0 = r * BJ
     bj = BJ
@@ -121,8 +131,8 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, dxw.shape, 2)
         src_w = jnp.concatenate([dxw[:, :, 1:], dxw[:, :, -1:]], axis=2)
         src_e = jnp.concatenate([dxw[:, :, :1], dxw[:, :, :-1]], axis=2)
-        dxw = jnp.where(col == 2, src_w, dxw)
-        dxw = jnp.where(col == ix, src_e, dxw)
+        dxw = jnp.where((col == 2) & own_w, src_w, dxw)
+        dxw = jnp.where((col == ix) & own_e, src_e, dxw)
     tk_c = tkw[:, rows_o, 2:ix + 3]
     tk_cm = tkw[:, rows_o, 1:ix + 2]
     dx_c = dxw[:, rows_o, 1:ix + 2]
@@ -153,8 +163,8 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
                 + (r0 - 1))
         src_s = jnp.concatenate([dew[:, 1:, :], dew[:, -1:, :]], axis=1)
         src_n = jnp.concatenate([dew[:, :1, :], dew[:, :-1, :]], axis=1)
-        dew = jnp.where(rowi == 1, src_s, dew)
-        dew = jnp.where(rowi == jy - 1, src_n, dew)
+        dew = jnp.where((rowi == 1) & own_s, src_s, dew)
+        dew = jnp.where((rowi == jy - 1) & own_n, src_n, dew)
     tk_r = tkw[:, 2:bj + 3, cols_o]
     tk_rm = tkw[:, 1:bj + 2, cols_o]
     de_r = dew[:, 1:bj + 2, cols_o]
@@ -291,7 +301,8 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
 def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
                  pmn, rmask, umask, vmask, cfg: ModelConfig,
                  scheme: AdvScheme, dtau: float, c_tk: float, c_sec: float,
-                 apply_mask: bool, mode: str, stflx=None, mix=None):
+                 apply_mask: bool, mode: str, stflx=None, mix=None,
+                 own=None):
     """Fused tracer stage over all tracers -> t_new (nt, nz, jy, ix).
 
     mode='pred':  hz_a=Hz(n), hz_b=flx_div  (Hz_bak/Hz_fwd derived);
@@ -303,6 +314,9 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
     diff2 (nt, jy, ix), pmon_u, pnom_v (2D); the diffusive tendency from
     the t_half window is added to the solved tracers in-kernel
     (reference: t3dmix_S.F, called right after the corrector in main.F).
+    own: (own_w, own_e, own_s, own_n) physical-edge ownership flags for
+    shard_map blocks (traced booleans from dist._with_ownership); None =
+    single block, which owns every edge.
     """
     nt, nz, jy, ix = tk.shape
     dtype = tk.dtype
@@ -352,6 +366,15 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
         stflx_in = rpad(stflx)
         st_spec = pl.BlockSpec((1, BJ, ix), lambda r, t: (t, r, 0),
                                memory_space=pltpu.VMEM)
+
+    if own is None:
+        own_in = jnp.ones((1, 4), jnp.float32)
+    else:
+        own_in = jnp.stack(
+            [jnp.asarray(f, jnp.float32) if f is not None
+             else jnp.float32(1.0) for f in own]).reshape(1, 4)
+    own_spec = pl.BlockSpec((1, 4), lambda r, t: (0, 0),
+                            memory_space=pltpu.SMEM)
 
     imix = max(cfg.i_t_and_s, 1)
 
@@ -427,6 +450,7 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
             pl.BlockSpec((BJ, ix), lambda r, t: (r, 0),
                          memory_space=vspec),
             st_spec,
+            own_spec,
         ] + mix_specs,
         out_specs=pl.BlockSpec((1, nz, BJ, ix), jtm,
                                memory_space=vspec),
@@ -434,7 +458,8 @@ def tracer_stage(tk, t_sec, flx_u, flx_v, hz_a, hz_b, we, wi, akt,
         compiler_params=comp,
         interpret=_INTERPRET,
     )(tk_w, tk_w, fu_w, fv_w, fv_w, um_w, um_w, vm_w, vm_w,
-      t_sec, hz_a, hz_b, we, wi, akt, pmn, rmask, stflx_in, *mix_inputs)
+      t_sec, hz_a, hz_b, we, wi, akt, pmn, rmask, stflx_in, own_in,
+      *mix_inputs)
     if jy_p != jy:
         out = out[:, :, :jy, :]
     return out

@@ -349,8 +349,13 @@ def make_distributed_step(cfg: ModelConfig, mesh: Mesh):
         def wrapped(state, forcing, grid, w1, w2):
             in_specs = (specs_like(state), specs_like(forcing),
                         specs_like(grid), P(), P())
+            # check_vma=False: the Pallas kernels inside the step emit
+            # ShapeDtypeStruct outputs without varying-mesh-axis
+            # annotations; the legacy (unchecked) collective semantics are
+            # what this step was written and tested against
             return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                                 out_specs=_out_specs(state))(
+                                 out_specs=_out_specs(state),
+                                 check_vma=False)(
                 state, forcing, grid, w1, w2)
         return jax.jit(wrapped)
 

@@ -78,12 +78,12 @@ def _vmix_update(state, u, v, t, bvf, z_r, z_w, hz, forcing, grid,
 
 
 def _use_pallas_kpp(cfg: ModelConfig, state, halo) -> bool:
-    """Gate for the fused Pallas vmix kernel: single-block TPU f32 steps
-    (the f64 CPU oracle path and the distributed path keep the jnp engine;
-    interpret mode forces it on for CPU equivalence tests)."""
+    """Gate for the fused Pallas vmix kernel: TPU f32 steps, single-block
+    AND distributed (the edge fills are ownership-gated per shard; the
+    f64 CPU oracle path keeps the jnp engine; interpret mode forces the
+    kernel on for CPU equivalence tests)."""
     from roms_tpu.ops import pallas_kpp
-    from roms_tpu.parallel.halo import HaloExchange
-    if not pallas_kpp.usable(cfg) or isinstance(halo, HaloExchange):
+    if not pallas_kpp.usable(cfg):
         return False
     if pallas_kpp._INTERPRET:
         return True
@@ -94,26 +94,26 @@ def _use_pallas_kpp(cfg: ModelConfig, state, halo) -> bool:
 def _mom_implicit(halo, rhs, hz_face, akv_face, wi_face, dc0, dtau, sstr,
                   cfg: ModelConfig, bottom_drag_coeff=None):
     """Momentum implicit solve dispatcher: the Pallas column kernel on
-    single-block TPU f32 steps, the jnp scan path (f64 oracle) elsewhere."""
+    TPU f32 steps (column-pure — valid per-shard under shard_map too),
+    the jnp scan path (f64 oracle) elsewhere."""
     from roms_tpu.ops import pallas_solve
-    from roms_tpu.parallel.halo import HaloExchange
-    use = (not isinstance(halo, HaloExchange)
-           and (pallas_solve._INTERPRET
-                or (jax.default_backend() == "tpu"
-                    and rhs.dtype == jnp.float32)))
+    use = (pallas_solve._INTERPRET
+           or (jax.default_backend() == "tpu"
+               and rhs.dtype == jnp.float32))
     fn = pallas_solve.momentum_implicit if use else vmix.momentum_implicit
     return fn(rhs, hz_face, akv_face, wi_face, dc0, dtau, sstr, cfg,
               bottom_drag_coeff=bottom_drag_coeff)
 
 
 def _use_pallas_tracer(cfg: ModelConfig, state, halo) -> bool:
-    """Gate for the fused Pallas tracer stage: single-block TPU f32 steps
-    of coverable configurations (the f64 CPU oracle path and the
-    distributed path keep the jnp engine; interpret mode forces it on for
+    """Gate for the fused Pallas tracer stage: TPU f32 steps of coverable
+    configurations, single-block AND distributed — inside shard_map each
+    shard is a single padded block and the kernel applies the physical-
+    edge fixes gated on the block's ownership flags (the f64 CPU oracle
+    path keeps the jnp engine; interpret mode forces the kernel on for
     CPU equivalence tests)."""
     from roms_tpu.ops import pallas_tracer
-    from roms_tpu.parallel.halo import HaloExchange
-    if not pallas_tracer.usable(cfg) or isinstance(halo, HaloExchange):
+    if not pallas_tracer.usable(cfg):
         return False
     if pallas_tracer._INTERPRET:
         return True
@@ -196,7 +196,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
         t_half = pallas_tracer.tracer_stage(
             state.t, state.t_prev, flx_u, flx_v, hz_n, flx_div, we, wi,
             akt, pmn, grid.rmask, grid.umask, grid.vmask, cfg,
-            cfg.ts_pred_scheme, dtau, cf_stp, cf_bak, False, "pred")
+            cfg.ts_pred_scheme, dtau, cf_stp, cf_bak, False, "pred",
+            own=(grid.own_w, grid.own_e, grid.own_s, grid.own_n))
     else:
         fx, fe = adv.horiz_tracer_flux(state.t, flx_u, flx_v, grid,
                                        cfg, cfg.ts_pred_scheme)
@@ -484,7 +485,7 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
     # batched tracer corrector (nt, nz, jy, ix); the reference loops per
     # tracer (step3d_t_ISO.F itrc loop) — here the whole tracer set moves
     # through one batched set of stencil ops + one vmapped implicit solve
-    if use_pallas and forcing.cdr is None:
+    if use_pallas:
         from roms_tpu.ops import pallas_tracer
         t_sec_c = state.t
         if cfg.lmd_kpp:
@@ -520,7 +521,8 @@ def step_impl(state: OceanState, forcing: Forcing, grid: Grid, w1, w2,
             t_half, t_sec_c, flx_u_c, flx_v_c, hz_n, hz_new, we, wi,
             akt, pmn, grid.rmask, grid.umask, grid.vmask, cfg,
             cfg.ts_corr_scheme, cfg.dt, 0.0, 1.0, True, "corr",
-            stflx=forcing.stflx, mix=mix)
+            stflx=forcing.stflx, mix=mix,
+            own=(grid.own_w, grid.own_e, grid.own_s, grid.own_n))
         return _finish_tracers(state, forcing, grid, cfg, halo,
                                t_new, t_half, u_half, v_half,
                                zeta_new, ubar_new, vbar_new,
