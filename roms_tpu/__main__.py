@@ -67,11 +67,16 @@ def main(argv=None):
 
     hw = HistoryWriter(f"{root}_his.nc", grid, cfg) if args.nhis else None
 
-    def hook(st, i):
+    def hook_sync(st, i):
         if hw is not None and i % args.nhis == 0:
             hw.write(st)
         if args.nrst and i % args.nrst == 0:
             write_restart(f"{root}_rst.nc", st, cfg)
+
+    # writers run off-thread so the device loop only enqueues
+    # (roms_tpu/io/async_io.py; drained by driver.run before returning)
+    from roms_tpu.io.async_io import make_async_hook
+    hook = make_async_hook(hook_sync)
 
     timers.tic("time_loop")
     state, rows = run(grid, state, forcing, cfg, print_diag=True,

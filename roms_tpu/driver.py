@@ -110,6 +110,8 @@ def run(grid, state, forcing, cfg: ModelConfig, nsteps: int | None = None,
         log(state, i + 1)
         if step_hook is not None:
             step_hook(state, i + 1)
+    if step_hook is not None and hasattr(step_hook, "drain"):
+        step_hook.drain()        # async writers: everything on disk first
     if timers is not None:
         timers.toc("step", sync=state.zeta)
         timers.nsteps += nsteps
@@ -210,6 +212,8 @@ def run_distributed(grid, state, forcing, cfg: ModelConfig, mesh,
         log(state_b, i + 1)
         if step_hook is not None:
             step_hook(state_b, i + 1)
+    if step_hook is not None and hasattr(step_hook, "drain"):
+        step_hook.drain()        # async writers: everything on disk first
     if timers is not None:
         timers.toc("step", sync=state_b.zeta)
         timers.nsteps += nsteps

@@ -32,7 +32,7 @@ class Series:
 
     def __init__(self, times: np.ndarray, read_rec: Callable[[int], np.ndarray],
                  cycle: Optional[float] = None, interp: bool = True,
-                 name: str = "?"):
+                 name: str = "?", prefetch: bool = True):
         self.times = np.asarray(times, np.float64)
         if self.times.ndim != 1 or self.times.size < 1:
             raise ValueError(f"{name}: bad time axis")
@@ -40,8 +40,28 @@ class Series:
         self.cycle = cycle
         self.interp = interp
         self.name = name
+        self.prefetch = prefetch
         self._slot_idx = [-1, -1]
         self._slot_data = [None, None]
+        self._pending = {}           # record index -> Future (background read)
+
+    def _read_locked(self, i: int) -> np.ndarray:
+        from roms_tpu.io.async_io import IO_LOCK
+        with IO_LOCK:
+            return np.asarray(self.read_rec(i), np.float64)
+
+    def _schedule(self, i: int) -> None:
+        """Start a background read of record i (the record the model will
+        need next) so crossing the boundary never stalls the step loop
+        (SURVEY §7(f); the reference blocks per rank instead,
+        roms_read_write.F:319-390)."""
+        if not self.prefetch or self.times.size <= 1:
+            return
+        i = int(i) % self.times.size
+        if i in self._slot_idx or i in self._pending:
+            return
+        from roms_tpu.io.async_io import read_pool
+        self._pending[i] = read_pool().submit(self._read_locked, i)
 
     def _rec(self, i: int) -> np.ndarray:
         i = int(i) % self.times.size
@@ -49,7 +69,11 @@ class Series:
             return self._slot_data[0]
         if i == self._slot_idx[1]:
             return self._slot_data[1]
-        data = np.asarray(self.read_rec(i), np.float64)
+        fut = self._pending.pop(i, None)
+        if fut is not None and fut.exception() is None:
+            data = fut.result()
+        else:   # no prefetch (or it failed, e.g. racing a close): read now
+            data = self._read_locked(i)
         # overwrite the stale slot (the one whose index is farther behind)
         s = 0 if self._slot_idx[0] <= self._slot_idx[1] else 1
         self._slot_idx[s] = i
@@ -77,7 +101,11 @@ class Series:
         if not self.interp:
             # hold the current record until the next one is reached
             # (reference: cdr_frc.opt time_interpolation=False semantics)
+            self._schedule(i2)                  # next record to be held
             return self._rec(i1)
+        n = self.times.size
+        if self.cycle or i2 + 1 < n:
+            self._schedule(i2 + 1)              # background-read ahead
         d1, d2 = self._rec(i1), self._rec(i2)
         if t2 <= t1:
             return d1
