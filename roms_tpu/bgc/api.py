@@ -52,6 +52,10 @@ class BGCModel(NamedTuple):
     surface_flux: Callable
     init_tracers: Callable        # (cfg, z_r, dtype) -> (nbgc, nz, jy, ix)
     init_saved: Callable = lambda cfg, shape, dtype: None
+    # diagnose(bgc_tracers, ctx, forc=None) -> {name: rate field} — the
+    # registered diagnostic set for the bgc_io-style writer (reference:
+    # src/bgc_io.F; None = model registers no diagnostics)
+    diagnose: Optional[Callable] = None
 
     @property
     def ntracers(self) -> int:

@@ -18,11 +18,16 @@ carbonate system (DIC/ALK with closed-form equilibrium chemistry and
 air-sea CO2/O2 exchange driven by pco2_air forcing), iron with dust/iron
 deposition and scavenging, and the Ncycle NH4->NO2->NO3 nitrification +
 suboxic denitrification chain producing N2O/N2 (reference: Ncycle_SY in
-cppdefs, bec2_driver.F).  Particulate export is treated implicitly: the
-non-grazed mortality/aggregation losses remineralize down-column through
-an exponential profile (the structural reduction of the reference's
-P_* implicit particulate arrays, src/bec2_vars.F:100-140) — column
-integrals of N/P/Si/Fe/C are exactly conserved by the interior terms.
+cppdefs, bec2_driver.F).  Particulate export runs through ballast-model
+sinking pools (POC with N/P/Fe riders, CaCO3, SiO2): soft + hard
+sub-fractions with per-class dissolution length scales and sea-floor
+remineralization (reference: the P_* sinking particulate types,
+src/bec2_vars.F:100-140) — column integrals of N/P/Si/Fe/C are exactly
+conserved by the interior terms.  The rate kernel also emits the
+registered diagnostic set (production/remin/flux/nitrogen-transformation
+rates + surface carbonate/gas-exchange fields) consumed by the
+bgc_io-style diagnostics writer (roms_tpu/io/bgc_io.py; reference:
+src/bgc_io.F + the bec2 diag registration in bec2_vars.F).
 
 Everything is a pure full-field function (nbgc, nz, jy, ix) -> tendencies;
 XLA fuses it into the tracer corrector — the TPU-first replacement for the
@@ -210,31 +215,74 @@ def gas_transfer_velocity(ws, schmidt):
         SC_REF / jnp.maximum(schmidt, 1.0))
 
 
-# ---- the kernel ------------------------------------------------------------
+# ---- sinking particulate pools (ballast model) -----------------------------
+#
+# The reference's BEC carries per-column implicit particulate types —
+# POC, P_CaCO3, P_SiO2, dust, P_iron — each with soft (freely dissolving)
+# and hard (ballast-protected) sub-pools, tracking prod / remin /
+# sflux_in / hflux_in per level (reference: src/bec2_vars.F:100-140 sinking
+# particulate declarations; Armstrong et al. 2002 ballast model as used by
+# Moore et al. 2004).  Here each class is a two-fraction exponential
+# attenuation column solve: the soft fraction remineralizes with the
+# class's dissolution length, the hard fraction sinks with an effectively
+# conservative length and remineralizes at the sea floor.  Exactly
+# conservative per column.  Reduction vs the reference (documented): the
+# POC hard fraction is a fixed parameter rather than dynamically tied to
+# the ballast mineral fluxes.
 
-def _sinking_remin(loss_c, hz, length):
-    """Implicitly remineralize a column production-of-particles field:
-    particles created at level k dissolve below with an exponential
-    profile; whatever reaches the sea floor remineralizes in the bottom
-    cell.  Exactly conservative: column integral of the returned remin
-    equals the column integral of loss_c.  (z axis: k=0 bottom.)"""
-    # flux through the BOTTOM interface of cell k (downward positive):
-    # F_k = sum_{m>=k} P_m * attenuation from m down to k
-    # computed with a downward scan: F_below = (F_above + P_k*hz_k)*exp(-hz_k/L)
+# (soft dissolution length [m], hard fraction, hard length [m])
+# (reference: bec2_params BEC lineage / Moore et al. 2004 Table 2)
+PART_POC = (130.0, 0.03, 40000.0)
+PART_CACO3 = (600.0, 0.55, 40000.0)
+PART_SIO2 = (220.0, 0.37, 40000.0)
+PART_DUST = (600.0, 0.97, 40000.0)
+
+
+def _attenuation_column(prod, hz, length):
+    """Downward flux + per-cell absorption of one sinking sub-pool.
+
+    prod: (nz, ..) volumetric production [conc/s], k=0 bottom.  Returns
+    (remin (nz,..) [conc*m/s per cell, NOT yet divided by hz],
+     flux (nz+1,..) downward flux at W-interfaces, flux[nz]=0 at surface,
+     f_bot (..) flux through the sea floor)."""
     def step(f_above, xs):
         p, dz = xs
         f_below = (f_above + p * dz) * jnp.exp(-dz / length)
-        remin = (f_above + p * dz) - f_below       # absorbed in this cell
-        return f_below, remin
+        return f_below, ((f_above + p * dz) - f_below, f_below)
 
-    prod_rev = loss_c[::-1]        # top -> bottom
-    hz_rev = hz[::-1]
-    f_bot, remin_rev = jax.lax.scan(step, jnp.zeros_like(loss_c[0]),
-                                    (prod_rev, hz_rev))
+    f_bot, (remin_rev, flux_rev) = jax.lax.scan(
+        step, jnp.zeros_like(prod[0]), (prod[::-1], hz[::-1]))
     remin = remin_rev[::-1]
-    # sea-floor flux remineralizes in the bottom cell
+    # flux at W-interfaces: interface k = bottom of cell k; top = 0
+    flux = jnp.concatenate([flux_rev[::-1], jnp.zeros_like(prod[:1])],
+                           axis=0)
+    return remin, flux, f_bot
+
+
+def particulate_flux(prod, hz, klass):
+    """Two-fraction ballast-model column solve for one particulate class.
+
+    Returns (remin [conc/s per cell], flux_w (nz+1,..) total downward
+    interface flux [conc*m/s], f_bot (..) sea-floor flux — which is also
+    already remineralized into the bottom cell of `remin`, keeping the
+    column integral of remin equal to that of prod)."""
+    soft_len, hard_frac, hard_len = klass
+    r_s, f_s, b_s = _attenuation_column(prod * (1.0 - hard_frac), hz,
+                                        soft_len)
+    r_h, f_h, b_h = _attenuation_column(prod * hard_frac, hz, hard_len)
+    remin = r_s + r_h
+    f_bot = b_s + b_h
+    remin = remin.at[0].add(f_bot)        # sea-floor remineralization
+    return remin / jnp.maximum(hz, 1e-12), f_s + f_h, f_bot
+
+
+def _sinking_remin(loss_c, hz, length):
+    """Single-exponential column remineralization (kept for the CaCO3
+    in-group dissolution path and backward compatibility); exactly
+    conservative like `particulate_flux`."""
+    remin, _, f_bot = _attenuation_column(loss_c, hz, length)
     remin = remin.at[0].add(f_bot)
-    return remin / jnp.maximum(hz, 1e-12)          # back to conc/s
+    return remin / jnp.maximum(hz, 1e-12)
 
 
 def make_interior(names: Tuple[str, ...]):
@@ -244,7 +292,12 @@ def make_interior(names: Tuple[str, ...]):
     ncycle = has("NO2")
     marbl = has("LIG")
 
-    def interior(trc, ctx: BGCContext, saved, forc=None):
+    def kernel(trc, ctx: BGCContext, saved, forc=None):
+        """Shared rate kernel: returns (tendencies, diagnostics dict).
+        The diagnostics (production/remineralization/flux/transformation
+        rates, reference: the registered bec2 diag set bec2_vars.F +
+        bgc_io.F) cost nothing on the plain tendency path — XLA dead-code
+        -eliminates unused outputs."""
         T = jnp.maximum
         get = lambda n: T(trc[I(n)], 0.0)
         po4, no3, sio3, nh4, fe = (get("PO4"), get("NO3"), get("SiO3"),
@@ -256,6 +309,7 @@ def make_interior(names: Tuple[str, ...]):
         par = _par(ctx, forc)
 
         d = jnp.zeros_like(trc)
+        diags = {"PAR": par}
 
         def add(n, v):
             nonlocal d
@@ -308,6 +362,7 @@ def make_interior(names: Tuple[str, ...]):
             mu = pcmax * light               # [1/s]
             photo = mu * c
             photo_tot = photo_tot + photo
+            diags[f"photoC_{g}"] = photo
 
             # chlorophyll synthesis toward a light-regulated theta
             theta_t = th_max / (1.0 + alpha * theta * par
@@ -359,11 +414,17 @@ def make_interior(names: Tuple[str, ...]):
                 add("SPCACO3", caco3_prod - (gr + mo) * qca - diss)
                 add("DIC", -caco3_prod + diss)
                 add("ALK", -2.0 * caco3_prod + 2.0 * diss)
-                # grazed/dead CaCO3 dissolves down-column
+                # grazed/dead CaCO3 sinks through the ballast-model
+                # particulate column (reference: P_CaCO3, bec2_vars.F)
                 ca_loss = (gr + mo) * qca
-                ca_remin = _sinking_remin(ca_loss, ctx.hz, CACO3_LENGTH)
+                ca_remin, ca_flux, ca_bot = particulate_flux(
+                    ca_loss, ctx.hz, PART_CACO3)
                 add("DIC", ca_remin)
                 add("ALK", 2.0 * ca_remin)
+                diags["CaCO3_prod"] = caco3_prod
+                diags["CaCO3_remin"] = ca_remin + diss
+                diags["CaCO3_flux"] = ca_flux
+                diags["CaCO3_bot_flux"] = ca_bot
 
         # zooplankton
         z_mort = Z_LOSS / DAY * tf * zoo + Z_LOSS2 / DAY * zoo * zoo
@@ -401,15 +462,27 @@ def make_interior(names: Tuple[str, ...]):
                 else:
                     add("PO4", remin_ref)
 
-        # implicit particulate remineralization (conservative down-column)
-        remin_poc = _sinking_remin(loss_poc, ctx.hz, POC_LENGTH)
-        remin_pon = _sinking_remin(loss_pon, ctx.hz, POC_LENGTH)
-        remin_pop = _sinking_remin(loss_pop, ctx.hz, POC_LENGTH)
-        remin_pofe = _sinking_remin(loss_pofe, ctx.hz, POC_LENGTH)
-        remin_posi = _sinking_remin(loss_posi, ctx.hz, POC_LENGTH)
+        # sinking particulate pools: ballast-model column solves
+        # (reference: POC/P_CaCO3/P_SiO2/P_iron types, bec2_vars.F:100-140;
+        # N/P/Fe ride the POC class as in the reference)
+        remin_poc, poc_flux, poc_bot = particulate_flux(
+            loss_poc, ctx.hz, PART_POC)
+        remin_pon, _, _ = particulate_flux(loss_pon, ctx.hz, PART_POC)
+        remin_pop, _, _ = particulate_flux(loss_pop, ctx.hz, PART_POC)
+        remin_pofe, _, _ = particulate_flux(loss_pofe, ctx.hz, PART_POC)
+        remin_posi, posi_flux, _ = particulate_flux(
+            loss_posi, ctx.hz, PART_SIO2)
+        diags["POC_prod"] = loss_poc
+        diags["POC_remin"] = remin_poc
+        diags["POC_flux"] = poc_flux
+        diags["POC_bot_flux"] = poc_bot
+        diags["SiO2_prod"] = loss_posi
+        diags["SiO2_remin"] = remin_posi
+        diags["SiO2_flux"] = posi_flux
 
         add("SIO3", remin_posi)
         add("FE", remin_pofe - FE_SCAV / DAY * fe)
+        diags["Fe_scavenge"] = FE_SCAV / DAY * fe
         if marbl:
             lig = get("LIG")
             add("LIG", LIG_PROD * (remin_poc + remin_doc)
@@ -419,6 +492,14 @@ def make_interior(names: Tuple[str, ...]):
         total_remin_c = remin_poc + remin_doc
         add("DIC", total_remin_c - photo_tot)
         add("O2", O2_PER_C * (photo_tot - total_remin_c))
+        diags["photoC_tot"] = photo_tot
+        diags["graze_tot"] = graze_tot
+        diags["zoo_loss"] = z_mort
+        diags["DOC_prod"] = dom_c
+        diags["DOC_remin"] = remin_doc
+        diags["N_fix"] = nfix
+        diags["NO3_uptake"] = no3_up
+        diags["NH4_uptake"] = nh4_up
 
         # nitrogen cycle
         add("NO3", -no3_up)
@@ -431,6 +512,8 @@ def make_interior(names: Tuple[str, ...]):
             inhib = jnp.exp(-par / PAR_NITRIF_INHIB)
             nit1 = NITRIF1 / DAY * inhib * nh4
             nit2 = NITRIF2 / DAY * inhib * no2
+            diags["NITRIF_NH4_NO2"] = nit1
+            diags["NITRIF_NO2_NO3"] = nit2
             add("NH4", -nit1)
             add("NO2", nit1 - nit2)
             add("NO3", nit2)
@@ -440,6 +523,8 @@ def make_interior(names: Tuple[str, ...]):
             sub = jnp.where(o2 < O2_SUBOXIC, 1.0, 0.0)
             den1 = DENITR / DAY * sub * no3
             den2 = DENITR / DAY * sub * no2
+            diags["DENITRIF"] = den1 + den2
+            diags["N2O_prod"] = 0.5 * N2O_YIELD * den2
             add("NO3", -den1)
             add("NO2", den1 - den2)
             add("N2O", 0.5 * N2O_YIELD * den2)
@@ -450,6 +535,7 @@ def make_interior(names: Tuple[str, ...]):
         else:
             inhib = jnp.exp(-par / PAR_NITRIF_INHIB)
             nit = NITRIF1 / DAY * inhib * nh4
+            diags["NITRIF_NH4_NO3"] = nit
             add("NH4", -nit)
             add("NO3", nit)
             add("O2", -2.0 * nit)
@@ -475,8 +561,13 @@ def make_interior(names: Tuple[str, ...]):
         # as the seed of MARBL's iterative carbonate solver across restarts
         # (marbl_driver.F:679-857); the closed-form solve used here needs
         # no seed, so restarts carry no extra BGC state.
+        return d, diags
+
+    def interior(trc, ctx: BGCContext, saved, forc=None):
+        d, _ = kernel(trc, ctx, saved, forc)
         return d, None
 
+    interior.kernel = kernel
     return interior
 
 
@@ -564,6 +655,49 @@ def make_init_tracers(names: Tuple[str, ...]):
     return init_tracers
 
 
+def make_diagnose(names: Tuple[str, ...]):
+    """Full diagnostic evaluation: interior rates + surface carbonate /
+    gas-exchange fields (reference: the bgc_io.F output set — FG_CO2,
+    pCO2, pH, PAR, production/remin/flux rates).  Run at output cadence
+    only; returns {name: (nz|nz+1|2D, jy, ix)}."""
+    interior0 = make_interior(names)
+    idx = {n.upper(): i for i, n in enumerate(names)}
+    has = lambda n: n.upper() in idx
+    I = lambda n: idx[n.upper()]
+
+    def diagnose(trc, ctx: BGCContext, forc=None):
+        _, diags = interior0.kernel(trc, ctx, None, forc)
+        forc = forc or {}
+        temp = ctx.temp[-1]
+        salt = ctx.salt[-1] if ctx.salt is not None \
+            else jnp.full_like(temp, 35.0)
+        dic = jnp.maximum(trc[I("DIC")][-1], 0.0)
+        alk = jnp.maximum(trc[I("ALK")][-1], 0.0)
+        pco2_oc, ph, co2star = _co2_equilibrium(dic, alk, temp, salt)
+        ws = forc.get("wspd")
+        if ws is None:
+            ws = jnp.zeros_like(temp)
+        kw_o2 = gas_transfer_velocity(ws, schmidt_o2(temp))
+        kw_co2 = gas_transfer_velocity(ws, schmidt_co2(temp))
+        o2 = jnp.maximum(trc[I("O2")][-1], 0.0)
+        o2sat = o2_saturation(temp, salt)
+        pco2_air = forc.get("pco2_air")
+        if pco2_air is None:
+            pco2_air = jnp.full_like(temp, 420.0)
+        scale = co2star / jnp.maximum(pco2_oc, 1e-3)
+        diags.update({
+            "pCO2_oc": pco2_oc, "pH_surf": ph,
+            "FG_CO2": kw_co2 * (pco2_air - pco2_oc) * scale,
+            "FG_O2": kw_o2 * (o2sat - o2),
+            "O2_saturation": o2sat, "wspd_10m": ws,
+        })
+        m = ctx.rmask
+        return {k: v * (m if v.ndim == 2 else m[None])
+                for k, v in diags.items()}
+
+    return diagnose
+
+
 def _build(name, tracers):
     interior0 = make_interior(tracers)
 
@@ -575,7 +709,8 @@ def _build(name, tracers):
         interior_tendency=interior,
         surface_flux=make_surface_flux(tracers),
         init_tracers=make_init_tracers(tracers),
-        init_saved=lambda cfg, shape, dtype: None)
+        init_saved=lambda cfg, shape, dtype: None,
+        diagnose=make_diagnose(tracers))
 
 
 @register("bec2")

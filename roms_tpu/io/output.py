@@ -195,13 +195,26 @@ class HistoryWriter:
             return np.asarray(state.t[self._trc_index[name]])
         return np.asarray(getattr(state, name))
 
+    # device->host pulls run on a small thread pool: concurrent transfers
+    # raise aggregate copy bandwidth (especially over remote-attached
+    # devices) and numpy conversions release the GIL; NetCDF writes stay
+    # on the calling thread (scipy record-variable resize is not
+    # thread-safe).  See also io/async_io.make_async_hook to move the
+    # whole write off the step loop.
+    PULL_WORKERS = 4
+
     def write(self, state: OceanState):
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = [name for name, *_ in self.menu]
+        with ThreadPoolExecutor(self.PULL_WORKERS) as ex:
+            pulled = dict(zip(names, ex.map(
+                lambda n: self._field(state, n), names)))
         self.nc.write("ocean_time", float(state.time), rec=self.rec)
         for name, stg, _, _ in self.menu:
-            a = self._field(state, name)
             jsl, isl = _stagger_slices(stg)
-            self.nc.write(name, a[..., jsl, isl].astype(self.dtype),
-                          rec=self.rec)
+            self.nc.write(name, pulled[name][..., jsl, isl]
+                          .astype(self.dtype), rec=self.rec)
         self.rec += 1
         self.nc.sync()
 

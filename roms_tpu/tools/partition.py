@@ -141,7 +141,15 @@ def partit(path: str, np_xi: int, np_eta: int,
                 w.create_var(vname, var.dims,
                              np.dtype(var.dtype).str[1:], var.attrs)
                 sl = _var_slices(var.dims, blk, np_xi, np_eta, llm, mmm)
-                w.write(vname, np.asarray(var[...])[sl])
+                data = np.asarray(var[...])[sl]
+                if (rec_dim is not None and var.dims
+                        and var.dims[0] == rec_dim):
+                    # unlimited-dim vars write record-by-record (the
+                    # scipy backend cannot whole-array-assign them)
+                    for r in range(data.shape[0]):
+                        w.write(vname, data[r], rec=r)
+                else:
+                    w.write(vname, data)
             w.close()
     return names
 
@@ -184,13 +192,23 @@ def ncjoin(paths: List[str], out_path: str) -> str:
     for dname, dsz in gdims.items():
         w.create_dim(dname, None if dname == rec_dim else int(dsz))
 
+    def put(vname, var0, data):
+        # unlimited-dim variables must be written record-by-record
+        # (the scipy netcdf backend cannot whole-array-assign them)
+        if rec_dim is not None and var0.dims and var0.dims[0] == rec_dim:
+            for r in range(data.shape[0]):
+                w.write(vname, data[r], rec=r)
+        else:
+            w.write(vname, data)
+
     for vname, var0 in parts[0][1].variables.items():
         w.create_var(vname, var0.dims, np.dtype(var0.dtype).str[1:],
                      var0.attrs)
-        shape = tuple(gdims[d] if d in gdims else s
+        shape = tuple(s if d == rec_dim else
+                      (gdims[d] if d in gdims else s)
                       for d, s in zip(var0.dims, var0.shape))
         if not any(d in PART_X + PART_E for d in var0.dims):
-            w.write(vname, np.asarray(var0[...]))
+            put(vname, var0, np.asarray(var0[...]))
             continue
         canvas = np.zeros(shape, np.dtype(var0.dtype))
         for attr, ds in parts:
@@ -209,9 +227,122 @@ def ncjoin(paths: List[str], out_path: str) -> str:
                 else:
                     sl.append(slice(None))
             canvas[tuple(sl)] = np.asarray(var[...])
-        w.write(vname, canvas)
+        put(vname, var0, canvas)
     w.close()
     for _, ds in parts:
+        ds.close()
+    return out_path
+
+
+def ncjoin_parallel(paths: List[str], out_path: str,
+                    workers: int | None = None) -> str:
+    """Parallel join — the `ncjoin_mpi` role (reference:
+    Tools-Roms/ncjoin_mpi.F:1-40; documented 8-16x speedups over serial
+    ncjoin, Documentation/readme-tools/readme.ncjoin_mpi:46-48).
+
+    Same semantics as `ncjoin`, parallelized at (variable, node-file)
+    granularity: the classic-netcdf reader holds each part fully in
+    memory (scipy netcdf_file mmap=False), so concurrent read-only jobs
+    need no locks; each job converts its node's block (the big-endian ->
+    native byteswap + copy that dominates serial ncjoin) and fills its
+    disjoint slice of a preallocated global canvas.  The canvases then
+    stream to the output serially (the scipy netcdf backend is not
+    thread-safe for record variables).  All canvases are resident at
+    once — peak memory equals the joined file size."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if workers is None:
+        workers = min(16, (os.cpu_count() or 1) * 2)
+
+    # header pass: partition layout + metadata from cheap opens
+    heads = []
+    for p in paths:
+        ds = open_dataset(p)
+        if "partition" not in ds.attrs:
+            raise ValueError(f"{p}: missing 'partition' attribute")
+        heads.append((np.asarray(ds.attrs["partition"], np.int64), p, ds))
+    heads.sort(key=lambda t: t[0][0])
+    nnodes = int(heads[0][0][1])
+    if len(heads) != nnodes:
+        raise ValueError(f"need {nnodes} files, got {len(heads)}")
+
+    def gsize(dim_rho: str, start_col: int):
+        return max(int(a[start_col] - 1) + ds.dimensions[dim_rho]
+                   for a, _, ds in heads if dim_rho in ds.dimensions)
+
+    ds0 = heads[0][2]
+    dims0 = dict(ds0.dimensions)
+    gdims = dict(dims0)
+    if "xi_rho" in dims0:
+        g_xi = gsize("xi_rho", 2)
+        gdims["xi_rho"] = g_xi
+        gdims["xi_u"] = g_xi - 1
+    if "eta_rho" in dims0:
+        g_eta = gsize("eta_rho", 3)
+        gdims["eta_rho"] = g_eta
+        gdims["eta_v"] = g_eta - 1
+    rec_dim = next((k for k in dims0 if k in ("time", "ocean_time")), None)
+
+    def block_slices(var, attr):
+        xi0 = int(attr[2]) - 1
+        eta0 = int(attr[3]) - 1
+        sl = []
+        for d, s in zip(var.dims, var.shape):
+            if d in PART_X:
+                off = xi0 if d == "xi_rho" else (xi0 - 1 if xi0 > 0 else 0)
+                sl.append(slice(off, off + s))
+            elif d in PART_E:
+                off = eta0 if d == "eta_rho" else (eta0 - 1 if eta0 > 0 else 0)
+                sl.append(slice(off, off + s))
+            else:
+                sl.append(slice(None))
+        return tuple(sl)
+
+    part_names = [v for v, var in ds0.variables.items()
+                  if any(d in PART_X + PART_E for d in var.dims)]
+
+    attrs = {k: v for k, v in ds0.attrs.items() if k != "partition"}
+    w = NCWriter(out_path, attrs)
+    for dname, dsz in gdims.items():
+        w.create_dim(dname, None if dname == rec_dim else int(dsz))
+
+    def put(vname, var0, data):
+        if rec_dim is not None and var0.dims and var0.dims[0] == rec_dim:
+            for r in range(data.shape[0]):
+                w.write(vname, data[r], rec=r)
+        else:
+            w.write(vname, data)
+
+    # create every variable; PRESIZE record variables so their backing
+    # arrays are stable, then let the fill jobs write node blocks
+    # DIRECTLY into the writer's (big-endian) arrays — one parallel
+    # byteswap+copy instead of canvas copy + serial writer copy
+    targets = {}
+    for vname, var0 in ds0.variables.items():
+        wv = w.create_var(vname, var0.dims,
+                          np.dtype(var0.dtype).str[1:], var0.attrs)
+        if vname not in part_names:
+            put(vname, var0, np.asarray(var0[...]))
+            continue
+        if rec_dim is not None and var0.dims and var0.dims[0] == rec_dim:
+            nrec = var0.shape[0]
+            gshape = tuple(gdims[d] if d in gdims else s
+                           for d, s in zip(var0.dims[1:], var0.shape[1:]))
+            w.write(vname, np.zeros(gshape, np.dtype(var0.dtype)),
+                    rec=nrec - 1)
+        targets[vname] = wv.data
+
+    def fill(job):
+        vname, (attr, _, ds) = job
+        var = ds[vname]
+        targets[vname][block_slices(var, attr)] = np.asarray(var[...])
+
+    jobs = [(v, h) for v in part_names for h in heads]
+    with ThreadPoolExecutor(workers) as ex:
+        list(ex.map(fill, jobs))
+
+    w.close()
+    for _, _, ds in heads:
         ds.close()
     return out_path
 

@@ -185,3 +185,62 @@ def test_wind_speed_from_stress_roundtrip():
         ws = float(bec.wind_speed_from_stress(
             jnp.asarray(tau_kin), jnp.asarray(0.0), rho0))
         assert abs(ws - u10) / u10 < 1e-3, (u10, ws)
+
+
+def test_bgc_diag_writer(tmp_path):
+    """The bgc_io-style diagnostics writer: >= 20 registered rate
+    diagnostics land in *_bgc_dia.nc with finite values (reference:
+    src/bgc_io.F wrt_bgc_diag + bec2_vars.F diag registration)."""
+    from roms_tpu.cases import filament
+    from roms_tpu.driver import run
+    from roms_tpu.io.bgc_io import BgcDiagWriter
+    from roms_tpu.io.netcdf import open_dataset
+
+    nbgc = 29
+    cfg = filament.config(ntimes=2).replace(
+        nx=16, ny=16, nz=8, nt=2 + nbgc, salinity=True, nonlin_eos=True,
+        bgc_model="bec2", n_bgc=nbgc)
+    grid, st, frc = filament.setup(cfg)
+    model = get_model("bec2")
+    bgc0 = model.init_tracers(cfg, st.z_r)
+    t0 = jnp.concatenate([st.t[:1], jnp.full_like(st.t[:1], 35.0), bgc0])
+    st = st.replace(t=t0, t_prev=t0)
+
+    path = str(tmp_path / "roms_bgc_dia.nc")
+    dw = BgcDiagWriter(path, grid, cfg)
+    st2, _ = run(grid, st, frc, cfg, nsteps=2,
+                 step_hook=lambda s, i: dw.write(s, frc))
+    dw.close()
+
+    ds = open_dataset(path)
+    names = [n for n in ds.variables if n != "ocean_time"]
+    assert len(names) >= 20, f"only {len(names)} diagnostics registered"
+    expect = {"PAR", "photoC_tot", "POC_flux", "FG_CO2", "pCO2_oc",
+              "pH_surf", "NITRIF_NH4_NO2", "DENITRIF", "CaCO3_prod"}
+    assert expect <= set(names), expect - set(names)
+    for n in ("photoC_tot", "POC_flux", "FG_CO2", "pCO2_oc"):
+        a = np.asarray(ds[n][...])
+        assert np.all(np.isfinite(a)), n
+    assert np.asarray(ds["ocean_time"][...]).shape == (2,)
+
+
+def test_particulate_flux_conservation():
+    """The ballast-model column solve is exactly conservative: column
+    integral of remin equals that of production, flux monotonicity at
+    the interfaces (reference: P_* implicit particulates,
+    bec2_vars.F:100-140)."""
+    from roms_tpu.bgc.bec import PART_CACO3, PART_POC, particulate_flux
+
+    rng = np.random.default_rng(1)
+    nz = 12
+    prod = jnp.asarray(np.abs(rng.standard_normal((nz, 4, 4))) * 1e-6)
+    hz = jnp.asarray(3.0 + np.abs(rng.standard_normal((nz, 4, 4))))
+    for klass in (PART_POC, PART_CACO3):
+        remin, flux, f_bot = particulate_flux(prod, hz, klass)
+        col_prod = np.asarray((prod * hz).sum(axis=0))
+        col_remin = np.asarray((remin * hz).sum(axis=0))
+        np.testing.assert_allclose(col_remin, col_prod, rtol=1e-12)
+        assert flux.shape[0] == nz + 1
+        assert np.all(np.asarray(flux) >= -1e-18)
+        np.testing.assert_allclose(np.asarray(flux[0]), np.asarray(f_bot),
+                                   rtol=1e-12)

@@ -160,3 +160,48 @@ def test_nc3to4z_roundtrip(tmp_path):
         ref = np.asarray(ds0["f"][...])
     np.testing.assert_array_equal(got, ref)
     assert os.path.getsize(out) < 0.8 * os.path.getsize(p)
+
+
+def test_ncjoin_parallel_matches_serial(tmp_path):
+    """ncjoin_parallel (the ncjoin_mpi role, Tools-Roms/ncjoin_mpi.F)
+    must reproduce serial ncjoin bit-for-bit, including record
+    variables."""
+    import numpy as np
+    from roms_tpu.io.netcdf import NCWriter, open_dataset
+    from roms_tpu.tools.partition import ncjoin, ncjoin_parallel, partit
+
+    path = str(tmp_path / "whole.nc")
+    nx, ny, nz = 20, 14, 5
+    rng = np.random.default_rng(3)
+    w = NCWriter(path, {"title": "join test"})
+    w.create_dim("time", None)
+    w.create_dim("s_rho", nz)
+    w.create_dim("eta_rho", ny + 2)
+    w.create_dim("xi_rho", nx + 2)
+    w.create_dim("xi_u", nx + 1)
+    w.create_var("ocean_time", ("time",), "f8", {})
+    w.create_var("temp", ("time", "s_rho", "eta_rho", "xi_rho"), "f4", {})
+    w.create_var("u", ("time", "s_rho", "eta_rho", "xi_u"), "f4", {})
+    w.create_var("h", ("eta_rho", "xi_rho"), "f8", {})
+    w.write("h", rng.standard_normal((ny + 2, nx + 2)))
+    for r in range(3):
+        w.write("ocean_time", float(r), rec=r)
+        w.write("temp", rng.standard_normal((nz, ny + 2, nx + 2))
+                .astype("f4"), rec=r)
+        w.write("u", rng.standard_normal((nz, ny + 2, nx + 1))
+                .astype("f4"), rec=r)
+    w.close()
+
+    parts = partit(path, 2, 2, out_dir=str(tmp_path / "parts"))
+    ncjoin(parts, str(tmp_path / "ser.nc"))
+    ncjoin_parallel(parts, str(tmp_path / "par.nc"))
+    a = open_dataset(str(tmp_path / "ser.nc"))
+    b = open_dataset(str(tmp_path / "par.nc"))
+    orig = open_dataset(path)
+    assert set(a.variables) == set(b.variables) == set(orig.variables)
+    for n in a.variables:
+        np.testing.assert_array_equal(np.asarray(a[n][...]),
+                                      np.asarray(b[n][...]), err_msg=n)
+        np.testing.assert_array_equal(np.asarray(a[n][...]),
+                                      np.asarray(orig[n][...]),
+                                      err_msg=f"{n} vs original")
