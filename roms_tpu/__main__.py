@@ -49,6 +49,8 @@ def main(argv=None):
                        salinity=args.nt >= 2, nonlin_eos=args.nt >= 2,
                        ew_periodic=False, ns_periodic=False)
     cfg = rc.apply(base)
+    from roms_tpu.audit import check_config
+    check_config(cfg, strict=True)   # cppcheck/setup-check analog
     title = rc.paths.get("title", "roms_tpu run")
     root = rc.paths.get("output_root", "roms")
     print(f"roms_tpu :: {title}")

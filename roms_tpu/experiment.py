@@ -152,6 +152,11 @@ def assemble(infile: str, base_cfg: ModelConfig,
             f"compile-time config has bgc_model='none' (reference: "
             f"check_setup errors on MARBL input without the MARBL switch)")
 
+    # cppcheck/srcscheck-grade switch audit (reference: the build-time
+    # cppcheck + runtime setup checks; roms_tpu/audit.py)
+    from roms_tpu.audit import check_config
+    check_config(cfg, strict=True)
+
     grid = read_grid(grid_path, cfg, dtype=dtype)
     if cfg.sponge:
         from roms_tpu.sponge import set_nudgcof
