@@ -135,6 +135,9 @@ class ModelConfig:
     # NHMG, NHMG/src/nhmg.f90; off by default, like the reference ships) --
     non_hydrostatic: bool = False
     nh_iters: int = 40       # PCG iterations per projection (roms_tpu/nhmg.py)
+    nh_sigma_terms: bool = True  # sigma-slope cross-terms in the NH operator
+    #                             (reference: NHMG/src/mg_define_matrices.f90
+    #                              full matrices; False = orthogonal approx)
 
     # ---- term-by-term budget diagnostics (reference: cppdefs.opt
     # DIAGNOSTICS, src/diagnostics.F) --------------------------------------

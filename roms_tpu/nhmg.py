@@ -30,18 +30,30 @@ distances as coefficients,
 
 so the corrected volume-flux divergence equals the CG residual EXACTLY
 (same discrete operators), and "solver converged" == "flow is
-non-divergent".  Deviations from the reference (documented):
+non-divergent".
 
-  1. the sigma-coordinate slope cross-terms of NHMG's full matrices
-     (mg_define_matrices.f90) are dropped — the operator is the orthogonal
-     approximation, adequate at the gentle slopes ROMS resolves and exact
-     for level coordinates;
-  2. w is not prognostic: the stepper passes a zero trial w and discards
-     nh.w (the model's w stays diagnostic via omega/wvlcty), so the
-     non-divergence guarantee covers (u, v, nh.w) — not (u, v) combined
-     with the model's recomputed vertical velocity.  The projection is a
-     horizontal-divergence damping valid in the weakly-non-hydrostatic
-     regime; a faithful NHMG coupling needs a stepped w carried in state.
+SIGMA-SLOPE CROSS-TERMS (cfg.nh_sigma_terms, default on): the reference's
+full matrices (NHMG/src/mg_define_matrices.f90) carry the terrain-
+following metric terms — the TRUE horizontal gradient on a tilted sigma
+surface is dp/dx|_z = dp/dx|_s - z_x dp/dz, and the flux through a
+tilted sigma cell face mixes w with u, v.  Here the full operator is
+built VARIATIONALLY: a linear discrete z-gradient G (horizontal
+differences minus the slope times the averaged vertical derivative),
+face-area weights A, and the EXACT adjoint G^T from
+jax.linear_transpose — so L = G^T A G is symmetric positive
+semi-definite by construction (the property mg_define_matrices
+hand-assembles), the normal equations G^T A G p = G^T A U* are the
+discrete projection, and U - G p has zero tilted-face divergence.
+With nh_sigma_terms=False the operator reduces bit-for-bit to the
+orthogonal 7-point approximation (exact for level coordinates).
+
+Remaining deviation (documented): w is not prognostic — the stepper
+passes a zero trial w and discards nh.w (the model's w stays diagnostic
+via omega/wvlcty), so the non-divergence guarantee covers (u, v, nh.w),
+not (u, v) with the model's recomputed vertical velocity.  The
+projection is a horizontal-divergence damping valid in the weakly-
+non-hydrostatic regime; a faithful NHMG coupling needs a stepped w
+carried in state.
 
 The reference ships NHMG disabled; this solver is likewise off by default
 (cfg.non_hydrostatic).
@@ -100,6 +112,76 @@ def _coefficients(hz, z_r, pm, pn, umask, vmask, cfg: ModelConfig):
     return au, av, aw_int, aw_top, dA, cell.astype(hz.dtype)
 
 
+class _Geometry(NamedTuple):
+    au: jax.Array         # hz_u*dy_u*pm_u * face mask  (orthogonal coeff)
+    av: jax.Array
+    aw_int: jax.Array
+    aw_top: jax.Array
+    dA: jax.Array
+    cell: jax.Array
+    area_u: jax.Array     # hz_u*dy_u * face mask (area only)
+    area_v: jax.Array
+    pm_u: jax.Array
+    pn_v: jax.Array
+    zx_u: jax.Array       # sigma-surface slope at u faces (per level)
+    zy_v: jax.Array
+    dz_w: jax.Array
+    hz_top: jax.Array
+    sigma: bool
+
+
+def _geometry(hz, z_r, pm, pn, umask, vmask, cfg: ModelConfig) -> _Geometry:
+    au, av, aw_int, aw_top, dA, cell = _coefficients(
+        hz, z_r, pm, pn, umask, vmask, cfg)
+    pm_u = 0.5 * (pm + jnp.roll(pm, 1, axis=-1))
+    pn_v = 0.5 * (pn + jnp.roll(pn, 1, axis=-2))
+    mu = (au > 0.0).astype(hz.dtype)
+    mv = (av > 0.0).astype(hz.dtype)
+    area_u = au / jnp.maximum(pm_u, 1e-300) * mu
+    area_v = av / jnp.maximum(pn_v, 1e-300) * mv
+    # sigma-surface slope at the faces, per level (reference: the zx/zy
+    # metric arrays of mg_define_matrices.f90)
+    zx_u = (z_r - jnp.roll(z_r, 1, axis=-1)) * pm_u[None] * mu
+    zy_v = (z_r - jnp.roll(z_r, 1, axis=-2)) * pn_v[None] * mv
+    return _Geometry(au=au, av=av, aw_int=aw_int, aw_top=aw_top, dA=dA,
+                     cell=cell, area_u=area_u, area_v=area_v,
+                     pm_u=pm_u, pn_v=pn_v, zx_u=zx_u, zy_v=zy_v,
+                     dz_w=z_r[1:] - z_r[:-1], hz_top=hz[-1],
+                     sigma=bool(cfg.nh_sigma_terms))
+
+
+def _gradient(p, geo):
+    """Discrete z-coordinate gradient of the cell pressure at the three
+    face families: gx (u faces), gy (v faces), gz (w faces 0..nz; floor
+    Neumann 0, surface Dirichlet p=0 at half-cell distance)."""
+    gz_int = (p[1:] - p[:-1]) / geo.dz_w
+    gz_top = (0.0 - p[-1]) / (0.5 * geo.hz_top)
+    gz = jnp.concatenate([jnp.zeros_like(p[:1]), gz_int, gz_top[None]],
+                         axis=0)
+    dpx = (p - jnp.roll(p, 1, axis=-1)) * geo.pm_u[None]
+    dpy = (p - jnp.roll(p, 1, axis=-2)) * geo.pn_v[None]
+    if geo.sigma:
+        gz_c = 0.5 * (gz[1:] + gz[:-1])                     # cell centers
+        gz_u = 0.5 * (gz_c + jnp.roll(gz_c, 1, axis=-1))    # u faces
+        gz_v = 0.5 * (gz_c + jnp.roll(gz_c, 1, axis=-2))
+        gx = dpx - geo.zx_u * gz_u
+        gy = dpy - geo.zy_v * gz_v
+    else:
+        gx, gy = dpx, dpy
+    mu = (geo.au > 0.0)
+    mv = (geo.av > 0.0)
+    return gx * mu, gy * mv, gz * geo.cell[None]
+
+
+def _aw_faces(geo):
+    """w-face areas 0..nz (floor face zero: Neumann)."""
+    nz = geo.dz_w.shape[0] + 1
+    flat = jnp.broadcast_to(geo.dA, (nz - 1,) + geo.dA.shape)
+    return jnp.concatenate(
+        [jnp.zeros_like(geo.dA)[None], flat, geo.dA[None]],
+        axis=0) * geo.cell[None]
+
+
 def _apply(p, au, av, aw_int, aw_top, cell):
     """L(p) = div(a grad p); Neumann at the floor, Dirichlet 0 above the
     surface."""
@@ -156,96 +238,95 @@ def nh_solve(u, v, w, hz, z_r, pm, pn, grid, cfg: ModelConfig,
         n_iter = cfg.nh_iters
     umask = getattr(grid, "umask", None) if cfg.masking else None
     vmask = getattr(grid, "vmask", None) if cfg.masking else None
-    au, av, aw_int, aw_top, dA, cell = _coefficients(
-        hz, z_r, pm, pn, umask, vmask, cfg)
+    geo = _geometry(hz, z_r, pm, pn, umask, vmask, cfg)
+    au, av, aw_int, aw_top, cell = (geo.au, geo.av, geo.aw_int,
+                                    geo.aw_top, geo.cell)
+    aw_f = _aw_faces(geo)
 
-    dy_u = 1.0 / (0.5 * (pm + jnp.roll(pm, 1, axis=-1)))
-    dx_v = 1.0 / (0.5 * (pn + jnp.roll(pn, 1, axis=-2)))
-    hz_u = 0.5 * (hz + jnp.roll(hz, 1, axis=-1))
-    hz_v = 0.5 * (hz + jnp.roll(hz, 1, axis=-2))
+    grad_fn = lambda q: _gradient(q, geo)
+    gt_fn = jax.linear_transpose(grad_fn, jnp.zeros_like(hz))
 
-    # volume-flux divergence of the trial field
-    fu = u * hz_u * dy_u * (au > 0.0)
-    fv = v * hz_v * dx_v * (av > 0.0)
-    b = (jnp.roll(fu, -1, axis=-1) - fu
-         + jnp.roll(fv, -1, axis=-2) - fv)
-    fw = w[1:-1] * dA[None]
-    b = b.at[:-1].add(fw)
-    b = b.at[1:].add(-fw)
-    b = b.at[-1].add(w[-1] * dA)                 # surface w flux
-    b = b * cell
+    def div_t(fx, fy, fz):
+        """G^T of area-weighted face fields: the (negated) tilted-face
+        divergence — the exact adjoint of the gradient."""
+        (out,) = gt_fn((fx, fy, fz))
+        return out * cell
 
-    # --- PCG on the NEGATED system (L is negative-definite; -L is SPD,
-    # and -M likewise, so every PCG scalar is positive and the tiny-value
-    # guards are sign-safe) ----------------------------------------------
+    # RHS of the normal equations  G^T A G p = G^T A U*
+    w_f = w.at[0].set(0.0)                      # no flux through the floor
+    bp = div_t(geo.area_u * u * (au > 0.0),
+               geo.area_v * v * (av > 0.0), aw_f * w_f)
+
     def dot(a_, b_):
         return jnp.sum(a_ * b_)
 
     def a_pos(x):
-        return -_apply(x, au, av, aw_int, aw_top, cell)
+        gx, gy, gz = grad_fn(x)
+        return div_t(geo.area_u * gx, geo.area_v * gy, aw_f * gz)
 
     def m_pos(x):
         return -_line_precond(x, au, av, aw_int, aw_top, cell)
 
-    bp = -b
-    p0 = jnp.zeros_like(b)
+    p0 = jnp.zeros_like(bp)
     r = bp
     z = m_pos(r)
     d = z
     rz = dot(r, z)
-    res0 = jnp.sqrt(dot(b, b))
+    res0 = jnp.sqrt(dot(bp, bp))
+
+    # freeze the recurrence once converged: continuing CG past the
+    # round-off floor re-amplifies noise (alpha = tiny/tiny garbage
+    # directions) — observed on the seamount geometry in both operators
+    rtol = 1e-13
+    done0 = jnp.asarray(False)
 
     def body(carry, _):
-        p, r, d, rz = carry
+        p, r, d, rz, done = carry
         ad = a_pos(d)
         alpha = rz / jnp.maximum(dot(d, ad), 1e-300)
-        p = p + alpha * d
-        r = r - alpha * ad
-        z = m_pos(r)
-        rz_new = dot(r, z)
+        p_n = p + alpha * d
+        r_n = r - alpha * ad
+        z = m_pos(r_n)
+        rz_new = dot(r_n, z)
         beta = rz_new / jnp.maximum(rz, 1e-300)
-        d = z + beta * d
-        return (p, r, d, rz_new), jnp.sqrt(dot(r, r))
+        d_n = z + beta * d
+        p = jnp.where(done, p, p_n)
+        r = jnp.where(done, r, r_n)
+        d = jnp.where(done, d, d_n)
+        rz = jnp.where(done, rz, rz_new)
+        res = jnp.sqrt(dot(r, r))
+        done = done | (res <= rtol * res0)
+        return (p, r, d, rz, done), res
 
-    (p, r, _, _), res_hist = jax.lax.scan(body, (p0, r, d, rz),
-                                          None, length=n_iter)
+    (p, r, _, _, _), res_hist = jax.lax.scan(
+        body, (p0, r, d, rz, done0), None, length=n_iter)
 
-    # --- correction (same discrete gradients as the operator) ----------
-    pm_u = 0.5 * (pm + jnp.roll(pm, 1, axis=-1))
-    pn_v = 0.5 * (pn + jnp.roll(pn, 1, axis=-2))
-    dpx = (p - jnp.roll(p, 1, axis=-1)) * pm_u
-    dpy = (p - jnp.roll(p, 1, axis=-2)) * pn_v
-    u_c = u - jnp.where(au > 0.0, dpx, 0.0)
-    v_c = v - jnp.where(av > 0.0, dpy, 0.0)
-    dz_w = z_r[1:] - z_r[:-1]
-    w_c = w
-    w_c = w_c.at[1:-1].add(-(p[1:] - p[:-1]) / dz_w)
-    # surface: gradient to the p=0 ghost at half-cell distance; the sea
-    # floor is Neumann (w[0] untouched)
-    w_c = w_c.at[-1].set(w[-1] - (0.0 - p[-1]) / (0.5 * hz[-1]))
+    # --- correction: U - G p (the SAME discrete gradient) ---------------
+    gx, gy, gz = grad_fn(p)
+    u_c = u - gx
+    v_c = v - gy
+    w_c = w - gz.at[0].set(0.0)
     return NHResult(p=p, u=u_c, v=v_c, w=w_c, res0=res0,
                     res=res_hist[-1])
 
 
-def divergence(u, v, w, hz, pm, pn, cfg: ModelConfig, grid=None):
-    """Volume-flux divergence diagnostic on the same discrete operators
-    (for tests and the stepper's blowup watchdog)."""
-    umask = getattr(grid, "umask", None) if (cfg.masking and grid is not None) else None
-    vmask = getattr(grid, "vmask", None) if (cfg.masking and grid is not None) else None
-    # reuse the coefficient masks to define active faces
-    z_r_fake = jnp.cumsum(hz, axis=0) - 0.5 * hz     # only dz_w used
-    au, av, _, _, dA, cell = _coefficients(hz, z_r_fake, pm, pn,
-                                           umask, vmask, cfg)
-    dy_u = 1.0 / (0.5 * (pm + jnp.roll(pm, 1, axis=-1)))
-    dx_v = 1.0 / (0.5 * (pn + jnp.roll(pn, 1, axis=-2)))
-    hz_u = 0.5 * (hz + jnp.roll(hz, 1, axis=-1))
-    hz_v = 0.5 * (hz + jnp.roll(hz, 1, axis=-2))
-    fu = u * hz_u * dy_u * (au > 0.0)
-    fv = v * hz_v * dx_v * (av > 0.0)
-    b = (jnp.roll(fu, -1, axis=-1) - fu
-         + jnp.roll(fv, -1, axis=-2) - fv)
-    fw = w[1:-1] * dA[None]
-    b = b.at[:-1].add(fw)
-    b = b.at[1:].add(-fw)
-    b = b.at[-1].add(w[-1] * dA)
-    return b * cell
+def divergence(u, v, w, hz, pm, pn, cfg: ModelConfig, grid=None,
+               z_r=None):
+    """Tilted-face volume-flux divergence diagnostic on the same discrete
+    operators the projection uses (for tests and the stepper's blowup
+    watchdog).  With cfg.nh_sigma_terms=False this is the orthogonal
+    divergence of the round-4 solver."""
+    umask = getattr(grid, "umask", None) \
+        if (cfg.masking and grid is not None) else None
+    vmask = getattr(grid, "vmask", None) \
+        if (cfg.masking and grid is not None) else None
+    if z_r is None:
+        z_r = jnp.cumsum(hz, axis=0) - 0.5 * hz
+    geo = _geometry(hz, z_r, pm, pn, umask, vmask, cfg)
+    gt_fn = jax.linear_transpose(lambda q: _gradient(q, geo),
+                                 jnp.zeros_like(hz))
+    aw_f = _aw_faces(geo)
+    w_f = w.at[0].set(0.0)
+    (out,) = gt_fn((geo.area_u * u * (geo.au > 0.0),
+                    geo.area_v * v * (geo.av > 0.0), aw_f * w_f))
+    return out * geo.cell

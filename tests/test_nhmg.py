@@ -55,7 +55,8 @@ def test_seamount_projection_converges():
     assert float(res.res) < 1e-6 * float(res.res0), (
         float(res.res), float(res.res0))
     # the corrected flow is discretely non-divergent to the same level
-    div_c = nhmg.divergence(res.u, res.v, res.w, hz, pm, pn, cfg)
+    div_c = nhmg.divergence(res.u, res.v, res.w, hz, pm, pn, cfg,
+                            z_r=z_r)
     assert float(jnp.abs(div_c).max()) < 1e-6 * float(res.res0)
 
 
@@ -89,3 +90,51 @@ def test_nh_flag_in_full_step():
     st2, _ = run(grid, st, frc, cfg, nsteps=2, collect_diag=False)
     assert bool(jnp.isfinite(st2.u).all())
     assert bool(jnp.isfinite(st2.zeta).all())
+
+
+def test_sigma_cross_terms_flat_reduces_to_orthogonal():
+    """At zero slope the full-matrix operator must equal the orthogonal
+    one bit-for-bit (reference: mg_define_matrices.f90 reduces likewise
+    for level coordinates)."""
+    cfg, grid, hz, z_r, pm, pn, dx = _seamount()
+    # flatten the bottom: uniform layers
+    nz, jy, ix = hz.shape
+    hzf = jnp.full_like(hz, 100.0)
+    zwf = jnp.cumsum(hzf, axis=0) - nz * 100.0
+    zrf = zwf - 50.0
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(0.05 * rng.standard_normal(hz.shape))
+    v = jnp.asarray(0.05 * rng.standard_normal(hz.shape))
+    w = jnp.zeros((nz + 1, jy, ix), jnp.float64)
+    r_on = nhmg.nh_solve(u, v, w, hzf, zrf, pm, pn, grid,
+                         cfg.replace(nh_sigma_terms=True), n_iter=80)
+    r_off = nhmg.nh_solve(u, v, w, hzf, zrf, pm, pn, grid,
+                          cfg.replace(nh_sigma_terms=False), n_iter=80)
+    np.testing.assert_array_equal(np.asarray(r_on.u), np.asarray(r_off.u))
+    np.testing.assert_array_equal(np.asarray(r_on.w), np.asarray(r_off.w))
+
+
+def test_sigma_cross_terms_tilted_divergence_vanishes():
+    """On the steep seamount the full operator's corrected field must
+    have vanishing TILTED-face divergence — the quantity the orthogonal
+    approximation cannot zero (reference: the full matrices exist for
+    exactly this, NHMG/src/mg_define_matrices.f90)."""
+    cfg, grid, hz, z_r, pm, pn, dx = _seamount()
+    nz, jy, ix = hz.shape
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(0.1 * rng.standard_normal(hz.shape))
+    v = jnp.asarray(0.1 * rng.standard_normal(hz.shape))
+    w = jnp.zeros((nz + 1, jy, ix), jnp.float64)
+
+    res = nhmg.nh_solve(u, v, w, hz, z_r, pm, pn, grid,
+                        cfg.replace(nh_sigma_terms=True), n_iter=300)
+    div_t = nhmg.divergence(res.u, res.v, res.w, hz, pm, pn,
+                            cfg.replace(nh_sigma_terms=True), z_r=z_r)
+    assert float(jnp.abs(div_t).max()) < 1e-6 * float(res.res0)
+
+    # the orthogonal solve does NOT zero the tilted divergence here
+    res_o = nhmg.nh_solve(u, v, w, hz, z_r, pm, pn, grid,
+                          cfg.replace(nh_sigma_terms=False), n_iter=300)
+    div_o = nhmg.divergence(res_o.u, res_o.v, res_o.w, hz, pm, pn,
+                            cfg.replace(nh_sigma_terms=True), z_r=z_r)
+    assert float(jnp.abs(div_o).max()) > 1e-3 * float(res.res0)
