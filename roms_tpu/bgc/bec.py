@@ -614,17 +614,27 @@ def make_surface_flux(names: Tuple[str, ...]):
         o2sat = o2_saturation(temp, salt)
         flx = flx.at[I("O2")].set(kw_o2 * (o2sat - o2))
 
+        # phosphate/silicate alkalinity contributions enter the full
+        # solve exactly as the reference passes the PO4/SiO3 tracers to
+        # co2calc (reference: bec2_driver.F:448-456)
+        po4_s = trc[I("PO4")][-1] if has("PO4") else None
+        sio3_s = trc[I("SIO3")][-1] if has("SIO3") else None
+
         def co2flx(dic_n, alk_n, pco2_key):
+            from roms_tpu.bgc.carbonate import co2_flux
             dic = trc[I(dic_n)][-1]
             alk = trc[I(alk_n)][-1]
-            pco2_oc, ph, co2star = _co2_equilibrium(dic, alk, temp, salt)
             pco2_air = forc.get(pco2_key)
             if pco2_air is None:
                 pco2_air = jnp.full_like(temp, 420.0)
-            # flux = kw * K0 * (pCO2_air - pCO2_oc); express via co2star:
-            # co2star/K0 = pco2_oc  =>  K0*d_pco2 = co2star * dp/pco2_oc
-            scale = co2star / jnp.maximum(pco2_oc, 1e-3)
-            return kw_co2 * (pco2_air - pco2_oc) * scale
+            # full OCMIP-grade system solve (total alkalinity incl.
+            # borate/water/phosphate/silicate; safeguarded Newton),
+            # seeded by the closed-form carbonate-alkalinity solution
+            _, ph0, _ = _co2_equilibrium(dic, alk, temp, salt)
+            fg, _ = co2_flux(dic, alk, temp, salt, kw_co2, pco2_air,
+                             po4_mmol=po4_s, sio3_mmol=sio3_s,
+                             h_init=10.0 ** (-ph0))
+            return fg
 
         flx = flx.at[I("DIC")].add(co2flx("DIC", "ALK", "pco2_air"))
         if has("DIC_ALT_CO2"):
@@ -671,9 +681,9 @@ def make_diagnose(names: Tuple[str, ...]):
         temp = ctx.temp[-1]
         salt = ctx.salt[-1] if ctx.salt is not None \
             else jnp.full_like(temp, 35.0)
+        from roms_tpu.bgc.carbonate import co2_flux
         dic = jnp.maximum(trc[I("DIC")][-1], 0.0)
         alk = jnp.maximum(trc[I("ALK")][-1], 0.0)
-        pco2_oc, ph, co2star = _co2_equilibrium(dic, alk, temp, salt)
         ws = forc.get("wspd")
         if ws is None:
             ws = jnp.zeros_like(temp)
@@ -684,10 +694,21 @@ def make_diagnose(names: Tuple[str, ...]):
         pco2_air = forc.get("pco2_air")
         if pco2_air is None:
             pco2_air = jnp.full_like(temp, 420.0)
-        scale = co2star / jnp.maximum(pco2_oc, 1e-3)
+        # full carbonate system for the monitoring diagnostics (the
+        # mCDR-relevant set: pCO2/pH/CO3/saturation states; reference:
+        # bgc output of co2calc fields + MARBL's CO3/Omega diags)
+        _, ph0, _ = _co2_equilibrium(dic, alk, temp, salt)
+        fg_co2, sol = co2_flux(
+            dic, alk, temp, salt, kw_co2, pco2_air,
+            po4_mmol=trc[I("PO4")][-1] if has("PO4") else None,
+            sio3_mmol=trc[I("SIO3")][-1] if has("SIO3") else None,
+            h_init=10.0 ** (-ph0))
         diags.update({
-            "pCO2_oc": pco2_oc, "pH_surf": ph,
-            "FG_CO2": kw_co2 * (pco2_air - pco2_oc) * scale,
+            "pCO2_oc": sol.pco2, "pH_surf": sol.ph,
+            "CO3_surf": sol.co3, "HCO3_surf": sol.hco3,
+            "CO2STAR_surf": sol.co2star,
+            "Omega_calcite": sol.omega_ca, "Omega_aragonite": sol.omega_ar,
+            "FG_CO2": fg_co2,
             "FG_O2": kw_o2 * (o2sat - o2),
             "O2_saturation": o2sat, "wspd_10m": ws,
         })

@@ -93,19 +93,28 @@ def mixed_fill(a: jax.Array, h: int = 2,
     exactly that, reference: compute_horiz_tracer_fluxes.h:74-83), but the
     uncontrolled seam dynamics can overflow, and inf*0 = nan defeats the
     mask/edge-fix decoupling.  Replicating the ring keeps every ghost line
-    bounded and deterministic without touching interior trajectories."""
+    bounded and deterministic without touching interior trajectories.
+
+    The physical-edge replications are expressed as `jnp.where` selects
+    rather than scatter updates: a chain of edge scatters on a large
+    array compiles to repeated full-buffer copy fusions on TPU, while a
+    select chain fuses into ONE pass over memory (measured: the in-step
+    halo/BC tail of the production step, scripts/ablate_step.py)."""
+    jy, ix = a.shape[-2], a.shape[-1]
     if ew_periodic:
         a = a.at[..., :, :h].set(a[..., :, -2 * h:-h])
         a = a.at[..., :, -h:].set(a[..., :, h:2 * h])
     else:
-        a = a.at[..., :, :h - 1].set(a[..., :, h - 1:h])
-        a = a.at[..., :, -(h - 1):].set(a[..., :, -h:-h + 1])
+        col = jnp.arange(ix)
+        a = jnp.where(col < h - 1, a[..., :, h - 1:h], a)
+        a = jnp.where(col >= ix - (h - 1), a[..., :, -h:-h + 1], a)
     if ns_periodic:
         a = a.at[..., :h, :].set(a[..., -2 * h:-h, :])
         a = a.at[..., -h:, :].set(a[..., h:2 * h, :])
     else:
-        a = a.at[..., :h - 1, :].set(a[..., h - 1:h, :])
-        a = a.at[..., -(h - 1):, :].set(a[..., -h:-h + 1, :])
+        row = jnp.arange(jy)[:, None]
+        a = jnp.where(row < h - 1, a[..., h - 1:h, :], a)
+        a = jnp.where(row >= jy - (h - 1), a[..., -h:-h + 1, :], a)
     return a
 
 
