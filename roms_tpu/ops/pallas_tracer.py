@@ -59,6 +59,10 @@ BJ = int(os.environ.get("ROMS_TPU_PALLAS_BJ", "8"))   # j-rows per block (f32 su
 
 _INTERPRET = os.environ.get("ROMS_TPU_PALLAS", "") == "interpret"
 
+# dev-only ablation knobs (scripts/bench_stage.py): skip kernel sections
+# to attribute stage time; NEVER set in production paths
+_SKIP = os.environ.get("ROMS_TPU_PALLAS_SKIP", "")
+
 
 def usable(cfg: ModelConfig) -> bool:
     """Whether the fused kernel covers this configuration's tracer stage."""
@@ -123,6 +127,14 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
     # not bandwidth-bound, at this tile size).
     rows_o = slice(2, 2 + bj)
     cols_o = slice(2, ix + 2)
+    if "horiz" in _SKIP:      # dev ablation: kernel = pure streams + axpy
+        tc3 = tkw[:, rows_o, cols_o]
+        if mode == "pred":
+            hz_pre3 = hza_ref[:] + hzb_ref[:]
+        else:
+            hz_pre3 = hza_ref[:]
+        out_ref[0] = hz_pre3 * (c_tk * tc3 + c_sec * tsec_ref[0])
+        return
     dxw = tkw[:, :, 1:] - tkw[:, :, :-1]
     if cfg.masking:
         dxw = dxw * um[:, 1:]
@@ -201,25 +213,26 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
     # ---- SPLINE_TS vertical advective flux ------------------------------
     # (reference: compute_vert_tracer_fluxes.h:37-71; port of
     #  roms_tpu.ops.advection._spline_interfaces)
-    cf_l = [jnp.ones_like(tcen[0])]
-    fc_l = [2.0 * tcen[0]]
-    for k in range(nz - 1):
-        cff = 1.0 / (2.0 * hz_spl[k] + hz_spl[k + 1] * (2.0 - cf_l[k]))
-        cf_l.append(cff * hz_spl[k])
-        fc_l.append(cff * (3.0 * (hz_spl[k] * tcen[k + 1]
-                                  + hz_spl[k + 1] * tcen[k])
-                           - hz_spl[k + 1] * fc_l[k]))
-    fc_top = (2.0 * tcen[nz - 1] - fc_l[nz - 1]) / (1.0 - cf_l[nz - 1])
-    iface = [None] * (nz + 1)
-    iface[nz] = fc_top
-    acc = fc_top
-    for k in range(nz - 1, -1, -1):
-        acc = fc_l[k] - cf_l[k] * acc
-        iface[k] = acc
-    for k in range(nz):
-        lo = 0.0 if k == 0 else iface[k] * we_ref[k]
-        hi = 0.0 if k == nz - 1 else iface[k + 1] * we_ref[k + 1]
-        rhs[k] = rhs[k] - dtau * pmn * (hi - lo)
+    if "vert" not in _SKIP:
+        cf_l = [jnp.ones_like(tcen[0])]
+        fc_l = [2.0 * tcen[0]]
+        for k in range(nz - 1):
+            cff = 1.0 / (2.0 * hz_spl[k] + hz_spl[k + 1] * (2.0 - cf_l[k]))
+            cf_l.append(cff * hz_spl[k])
+            fc_l.append(cff * (3.0 * (hz_spl[k] * tcen[k + 1]
+                                      + hz_spl[k + 1] * tcen[k])
+                               - hz_spl[k + 1] * fc_l[k]))
+        fc_top = (2.0 * tcen[nz - 1] - fc_l[nz - 1]) / (1.0 - cf_l[nz - 1])
+        iface = [None] * (nz + 1)
+        iface[nz] = fc_top
+        acc = fc_top
+        for k in range(nz - 1, -1, -1):
+            acc = fc_l[k] - cf_l[k] * acc
+            iface[k] = acc
+        for k in range(nz):
+            lo = 0.0 if k == 0 else iface[k] * we_ref[k]
+            hi = 0.0 if k == nz - 1 else iface[k + 1] * we_ref[k + 1]
+            rhs[k] = rhs[k] - dtau * pmn * (hi - lo)
 
     if surface:
         rhs[nz - 1] = rhs[nz - 1] + dtau * stflx_ref[0]
@@ -228,25 +241,26 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
     # (port of roms_tpu.ops.vmix.tracer_implicit; reference:
     #  pre_step3d4S.F:216-263 / step3d_t_ISO.F:1044-1100)
     dc0 = dtau * pmn
-    fcv = [2.0 * dtau * akt_ref[0, j + 1] / (hz_imp[j + 1] + hz_imp[j])
-           for j in range(nz - 1)]
-    wcv = [dc0 * wi_ref[j + 1] for j in range(nz - 1)]
-    wc_p = [jnp.maximum(w, 0.0) for w in wcv]
-    wc_m = [jnp.minimum(w, 0.0) for w in wcv]
+    if "vert" not in _SKIP:
+        fcv = [2.0 * dtau * akt_ref[0, j + 1] / (hz_imp[j + 1] + hz_imp[j])
+               for j in range(nz - 1)]
+        wcv = [dc0 * wi_ref[j + 1] for j in range(nz - 1)]
+        wc_p = [jnp.maximum(w, 0.0) for w in wcv]
+        wc_m = [jnp.minimum(w, 0.0) for w in wcv]
 
-    cf_s = [None] * (nz - 1)
-    dc_s = [None] * (nz - 1)
-    for c in range(nz - 1):
-        if c == 0:
-            below = 0.0
-            extra = 0.0
-        else:
-            below = (fcv[c - 1] - wc_m[c - 1]
-                     - cf_s[c - 1] * (fcv[c - 1] + wc_p[c - 1]))
-            extra = dc_s[c - 1] * (fcv[c - 1] + wc_p[c - 1])
-        cff = 1.0 / (hz_imp[c] + fcv[c] + wc_p[c] + below)
-        cf_s[c] = cff * (fcv[c] - wc_m[c])
-        dc_s[c] = cff * (rhs[c] + extra)
+        cf_s = [None] * (nz - 1)
+        dc_s = [None] * (nz - 1)
+        for c in range(nz - 1):
+            if c == 0:
+                below = 0.0
+                extra = 0.0
+            else:
+                below = (fcv[c - 1] - wc_m[c - 1]
+                         - cf_s[c - 1] * (fcv[c - 1] + wc_p[c - 1]))
+                extra = dc_s[c - 1] * (fcv[c - 1] + wc_p[c - 1])
+            cff = 1.0 / (hz_imp[c] + fcv[c] + wc_p[c] + below)
+            cf_s[c] = cff * (fcv[c] - wc_m[c])
+            dc_s[c] = cff * (rhs[c] + extra)
 
     # ---- fused t3dmix lateral diffusion (reference: t3dmix_S.F:45-99) ---
     # The diffusive fluxes are built from the SAME t_half window `tkw`
@@ -283,6 +297,12 @@ def _kernel(tka_ref, tkb_ref, fu_ref, fva_ref, fvb_ref,
         tend = [tend3[k] for k in range(nz)]
 
     mask = rmask_ref[:] if (apply_mask and cfg.masking) else None
+    if "vert" in _SKIP:       # dev ablation: no implicit solve, plain /hz
+        o = jnp.stack(rhs) / hz_imp3
+        if mask is not None:
+            o = o * mask[None]
+        out_ref[0] = (o + tend3) if mix else o
+        return
     t_top = ((rhs[nz - 1] + dc_s[nz - 2] * (fcv[nz - 2] + wc_p[nz - 2]))
              / (hz_imp[nz - 1] + fcv[nz - 2] - wc_m[nz - 2]
                 - cf_s[nz - 2] * (fcv[nz - 2] + wc_p[nz - 2])))

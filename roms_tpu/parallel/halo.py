@@ -95,26 +95,24 @@ def mixed_fill(a: jax.Array, h: int = 2,
     mask/edge-fix decoupling.  Replicating the ring keeps every ghost line
     bounded and deterministic without touching interior trajectories.
 
-    The physical-edge replications are expressed as `jnp.where` selects
-    rather than scatter updates: a chain of edge scatters on a large
-    array compiles to repeated full-buffer copy fusions on TPU, while a
-    select chain fuses into ONE pass over memory (measured: the in-step
-    halo/BC tail of the production step, scripts/ablate_step.py)."""
-    jy, ix = a.shape[-2], a.shape[-1]
+    Implementation note (measured, kept for the record): expressing the
+    physical-edge replications as `jnp.where` select chains instead of
+    scatter updates REGRESSES the production step 146 -> 161 ms
+    (scripts/ab_fill A/B on the chip) — XLA:TPU already aliases these
+    dynamic-update-slices in place, while a select chain forces full
+    read+write passes per edge.  Keep the scatter form."""
     if ew_periodic:
         a = a.at[..., :, :h].set(a[..., :, -2 * h:-h])
         a = a.at[..., :, -h:].set(a[..., :, h:2 * h])
     else:
-        col = jnp.arange(ix)
-        a = jnp.where(col < h - 1, a[..., :, h - 1:h], a)
-        a = jnp.where(col >= ix - (h - 1), a[..., :, -h:-h + 1], a)
+        a = a.at[..., :, :h - 1].set(a[..., :, h - 1:h])
+        a = a.at[..., :, -(h - 1):].set(a[..., :, -h:-h + 1])
     if ns_periodic:
         a = a.at[..., :h, :].set(a[..., -2 * h:-h, :])
         a = a.at[..., -h:, :].set(a[..., h:2 * h, :])
     else:
-        row = jnp.arange(jy)[:, None]
-        a = jnp.where(row < h - 1, a[..., h - 1:h, :], a)
-        a = jnp.where(row >= jy - (h - 1), a[..., -h:-h + 1, :], a)
+        a = a.at[..., :h - 1, :].set(a[..., h - 1:h, :])
+        a = a.at[..., -(h - 1):, :].set(a[..., -h:-h + 1, :])
     return a
 
 
